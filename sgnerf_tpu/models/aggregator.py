@@ -1,0 +1,309 @@
+"""Point-feature aggregation + shading MLPs ("viewmlp").
+
+Functional re-design of the reference PointAggregator
+(/root/reference/models/aggregators/point_aggregators.py):
+  * distance kernels (linear / quadric / avg / numlinear / numquadric): :465-514
+  * viewmlp decode: :561-786 — per-neighbor PE(feat) ⊕ PE(rotated dist) ->
+    block1 -> [⊕ 96-d semantic -> block2_bpnet] -> per-neighbor alpha
+    (softplus(x-1)), weight-summed over K; features weight-summed then color
+    head with PE(viewdir);
+  * conf gradient-clamp: :863-865; weight normalization: :946-947.
+
+TPU-first deltas: the reference flattens to ragged "valid neighbor" rows
+(`pnt_mask_flat`); we keep dense (B,R,SR,K,C) blocks and mask by multiply —
+dense matmuls map straight onto the MXU and the masked rows are free relative
+to the gather they'd otherwise save.
+
+Parameters live in a plain pytree (dict of {"w": (in,out), "b": (out,)}) so
+reference checkpoints convert 1:1 (see models/checkpoint_io.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pe import positional_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregatorConfig:
+    """Static architecture config, mirroring the reference flag surface."""
+    point_features_dim: int = 32
+    shading_feature_num: int = 256
+    shading_feature_mlp_layer1: int = 2
+    shading_feature_mlp_layer2: int = 0
+    shading_feature_mlp_layer2_bpnet: int = 0
+    shading_feature_mlp_layer3: int = 0
+    shading_alpha_mlp_layer: int = 1
+    shading_color_mlp_layer: int = 4
+    shading_color_channel_num: int = 3
+    num_feat_freqs: int = 3
+    dist_xyz_freq: int = 5
+    dist_xyz_deno: float = 0.0
+    num_viewdir_freqs: int = 4
+    agg_dist_pers: int = 20
+    agg_distance_kernel: str = "linear"
+    agg_intrp_order: int = 2
+    agg_weight_norm: int = 1
+    act_type: str = "LeakyReLU"
+    act_super: int = 1
+    predict_semantic: int = 0
+    semantic_dim: int = 96
+    point_color_mode: str = "1"
+    point_dir_mode: str = "1"
+    axis_weight: Optional[Tuple[float, float, float]] = None
+
+    @property
+    def dist_dim(self) -> int:
+        if self.agg_dist_pers > 9:
+            return 4 if self.agg_dist_pers == 30 else 6
+        return 3
+
+    @property
+    def dist_xyz_dim(self) -> int:
+        if self.dist_xyz_freq == 0:
+            return self.dist_dim
+        return 2 * abs(self.dist_xyz_freq) * self.dist_dim
+
+    @property
+    def block1_in(self) -> int:
+        c = self.point_features_dim
+        c += 2 * self.num_feat_freqs * c if self.num_feat_freqs > 0 else 0
+        c += self.dist_xyz_dim if self.agg_intrp_order > 0 else 0
+        return c
+
+    @property
+    def viewdir_channels(self) -> int:
+        return 2 * self.num_viewdir_freqs * 3 if self.num_viewdir_freqs > 0 else 3
+
+
+def _act(cfg: AggregatorConfig, x):
+    if cfg.act_type == "LeakyReLU":
+        return jax.nn.leaky_relu(x, negative_slope=0.01)
+    if cfg.act_type == "ReLU":
+        return jax.nn.relu(x)
+    if cfg.act_type == "ELU":
+        return jax.nn.elu(x)
+    raise ValueError(f"unknown act_type {cfg.act_type}")
+
+
+def _linear_init(key, n_in, n_out, gain=1.0, dtype=jnp.float32):
+    """xavier_uniform matching the reference init
+    (helpers/networks.py:113-124): U(-std*sqrt(3), std*sqrt(3)),
+    std = gain*sqrt(2/(n_in+n_out)); bias from torch's default Linear init."""
+    kw, kb = jax.random.split(key)
+    std = gain * np.sqrt(2.0 / (n_in + n_out))
+    w = jax.random.uniform(kw, (n_in, n_out), dtype,
+                           -std * np.sqrt(3.0), std * np.sqrt(3.0))
+    bound = 1.0 / np.sqrt(n_in)
+    b = jax.random.uniform(kb, (n_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def _mlp_init(key, sizes, gain_hidden, dtype=jnp.float32):
+    """A stack of Linear layers; the reference applies relu/leaky-relu gain to
+    every layer followed by an activation (init_seq, networks.py:163-172)."""
+    layers = []
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+        gain = gain_hidden if i < len(sizes) - 2 else gain_hidden
+        layers.append(_linear_init(keys[i], a, b, gain, dtype))
+    return layers
+
+
+def _mlp_apply(cfg, layers, x, act_last=True):
+    for i, l in enumerate(layers):
+        x = x @ l["w"] + l["b"]
+        if act_last or i < len(layers) - 1:
+            x = _act(cfg, x)
+    return x
+
+
+def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig,
+                           dtype=jnp.float32) -> Dict[str, Any]:
+    gain = float(np.sqrt(2.0)) if cfg.act_type == "ReLU" else \
+        float(np.sqrt(2.0 / (1 + 0.01 ** 2)))
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params: Dict[str, Any] = {}
+    c = cfg.block1_in
+    if cfg.shading_feature_mlp_layer1 > 0:
+        sizes = [c] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer1
+        params["block1"] = _mlp_init(k1, sizes, gain, dtype)
+        c = cfg.shading_feature_num
+    if cfg.shading_feature_mlp_layer2_bpnet > 0:
+        cin = c + (cfg.semantic_dim if cfg.predict_semantic == 1 else 0)
+        sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer2_bpnet
+        params["block2_bpnet"] = _mlp_init(k2, sizes, gain, dtype)
+        c = cfg.shading_feature_num
+    if cfg.shading_feature_mlp_layer3 > 0:
+        cin = c + (3 if "1" in cfg.point_color_mode else 0) + \
+            (4 if "1" in cfg.point_dir_mode else 0)
+        sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer3
+        params["block3"] = _mlp_init(k3, sizes, gain, dtype)
+        c = cfg.shading_feature_num
+
+    # alpha head: (layer-1) hidden layers of width C/2 then Linear->1
+    a_sizes = [cfg.shading_feature_num] + \
+        [cfg.shading_feature_num // 2] * (cfg.shading_alpha_mlp_layer - 1) + [1]
+    params["alpha_branch"] = _mlp_init(k4, a_sizes, gain, dtype)
+
+    c_sizes = [cfg.shading_feature_num + cfg.viewdir_channels] + \
+        [cfg.shading_feature_num // 2] * (cfg.shading_color_mlp_layer - 1) + [3]
+    params["color_branch"] = _mlp_init(k5, c_sizes, gain, dtype)
+    return params
+
+
+# ------------------------------------------------------------ distance kernels
+
+def _dist_weights(cfg: AggregatorConfig, dists, pnt_mask):
+    """dists (B,R,SR,K,dist_dim) -> weights (B,R,SR,K). Reference :465-514."""
+    kern = cfg.agg_distance_kernel
+    m = pnt_mask.astype(dists.dtype)
+    if kern == "linear":
+        w = 1.0 / jnp.clip(
+            jnp.linalg.norm(dists[..., :3], axis=-1), min=1e-6)
+        return m * w
+    if kern == "quadric":
+        w = 1.0 / jnp.clip(
+            jnp.sum(jnp.square(dists[..., :3]), axis=-1), min=1e-8)
+        return m * w
+    if kern == "avg":
+        return m
+    if kern == "numlinear":
+        w = 1.0 / jnp.clip(jnp.linalg.norm(dists, axis=-1), min=1e-6)
+        w = m * w
+        return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
+    if kern == "numquadric":
+        w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists), axis=-1), min=1e-8)
+        w = m * w
+        return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
+    raise ValueError(f"unsupported agg_distance_kernel {kern}")
+
+
+def _gradient_clamp(x, lo=0.0001, hi=1.0):
+    """Pass-through clamp: value clamped, gradient unclamped (reference :863)."""
+    return x - jax.lax.stop_gradient(x - jnp.clip(x, lo, hi))
+
+
+def raw2out_density(cfg: AggregatorConfig, raw):
+    if cfg.act_super > 0:
+        return jax.nn.softplus(raw - 1.0)
+    return jax.nn.relu(raw)
+
+
+def raw2out_color(cfg: AggregatorConfig, raw):
+    c = jax.nn.sigmoid(raw)
+    if cfg.act_super > 0:
+        c = c * (1 + 2 * 0.001) - 0.001
+    return c
+
+
+def compute_dists(cfg: AggregatorConfig, sampled_xyz, sampled_xyz_pers,
+                  sample_loc, sample_loc_w):
+    """Per-neighbor offset features. agg_dist_pers=20 (ScanNet default,
+    reference :917-925): world Δ ⊕ z-scaled perspective Δ."""
+    p = cfg.agg_dist_pers
+    if p == 0:
+        return sampled_xyz - sample_loc_w[..., None, :]
+    if p == 1:
+        return sampled_xyz_pers - sample_loc[..., None, :]
+    if p == 10:
+        d = sampled_xyz_pers - sample_loc[..., None, :]
+        return jnp.concatenate(
+            [sampled_xyz - sample_loc_w[..., None, :], d], axis=-1)
+    if p == 20:
+        xd = (sampled_xyz_pers[..., 0] * sampled_xyz_pers[..., 2]
+              - sample_loc[..., None, 0] * sample_loc[..., None, 2])
+        yd = (sampled_xyz_pers[..., 1] * sampled_xyz_pers[..., 2]
+              - sample_loc[..., None, 1] * sample_loc[..., None, 2])
+        zd = sampled_xyz_pers[..., 2] - sample_loc[..., None, 2]
+        d = jnp.stack([xd, yd, zd], axis=-1)
+        return jnp.concatenate(
+            [sampled_xyz - sample_loc_w[..., None, :], d], axis=-1)
+    raise ValueError(f"unsupported agg_dist_pers {p}")
+
+
+def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
+              sampled_embedding,       # (B,R,SR,K,F)
+              sampled_color,           # (B,R,SR,K,3) or None
+              sampled_dir,             # (B,R,SR,K,3) or None
+              sampled_conf,            # (B,R,SR,K,1) or None
+              sampled_label_embedding,  # (B,R,SR,K,96) or None
+              sampled_xyz,             # (B,R,SR,K,3) world
+              sampled_xyz_pers,        # (B,R,SR,K,3) perspective
+              sample_pnt_mask,         # (B,R,SR,K) bool
+              sample_loc,              # (B,R,SR,3) perspective
+              sample_loc_w,            # (B,R,SR,3) world
+              sample_ray_dirs,         # (B,R,SR,3)
+              Rw2c=None,               # (3,3) or None (identity)
+              vsize=None):
+    """Dense masked aggregation. Returns (decoded (B,R,SR,4), ray_valid
+    (B,R,SR) bool, weight (B,R,SR,K), conf_coefficient (B,R,SR,K))."""
+    B, R, SR, K, _ = sampled_embedding.shape
+    mask = sample_pnt_mask
+    ray_valid = jnp.any(mask, axis=-1)  # (B,R,SR)
+
+    dists = compute_dists(cfg, sampled_xyz, sampled_xyz_pers,
+                          sample_loc, sample_loc_w)
+    weight = _dist_weights(cfg, dists, mask)
+    if cfg.agg_weight_norm > 0 and not cfg.agg_distance_kernel.startswith("num"):
+        weight = weight / jnp.clip(
+            jnp.sum(weight, axis=-1, keepdims=True), min=1e-8)
+
+    conf_coefficient = jnp.ones_like(weight)
+    if sampled_conf is not None:
+        conf_coefficient = _gradient_clamp(sampled_conf[..., 0])
+    w = (weight * conf_coefficient)[..., None]  # (B,R,SR,K,1)
+
+    # ---- per-neighbor feature assembly
+    d = dists
+    if cfg.dist_xyz_deno != 0.0 and vsize is not None:
+        d = d / float(cfg.dist_xyz_deno * np.linalg.norm(np.asarray(vsize)))
+    if Rw2c is not None:
+        # rotate the world-delta part into the canonical frame (reference :599)
+        d = jnp.concatenate([d[..., :3] @ Rw2c.T, d[..., 3:]], axis=-1)
+    if cfg.dist_xyz_freq != 0:
+        d = positional_encoding(d, abs(cfg.dist_xyz_freq))
+
+    feat = sampled_embedding
+    if cfg.num_feat_freqs > 0:
+        feat = jnp.concatenate(
+            [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
+    if cfg.agg_intrp_order > 0:
+        feat = jnp.concatenate([feat, d], axis=-1)
+
+    feat = _mlp_apply(cfg, params["block1"], feat)
+
+    if cfg.shading_feature_mlp_layer2_bpnet > 0:
+        if sampled_label_embedding is not None:
+            feat = jnp.concatenate([feat, sampled_label_embedding], axis=-1)
+        feat = _mlp_apply(cfg, params["block2_bpnet"], feat)
+
+    # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
+    raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat, act_last=False)
+    alpha_nb = raw2out_density(cfg, raw_alpha)          # (B,R,SR,K,1)
+    alpha_nb = alpha_nb * mask[..., None]
+    alpha = jnp.sum(alpha_nb * w, axis=-2)              # (B,R,SR,1)
+
+    feat = feat * mask[..., None]
+    feat_agg = jnp.sum(feat * w, axis=-2)               # (B,R,SR,C)
+
+    viewdirs = sample_ray_dirs
+    if Rw2c is not None:
+        viewdirs = viewdirs @ Rw2c.T
+    if cfg.num_viewdir_freqs > 0:
+        vd = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
+        viewdirs = vd[..., 3:]  # reference splits off the raw dirs (:582)
+
+    color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)
+    raw_color = _mlp_apply(cfg, params["color_branch"], color_in,
+                           act_last=False)
+    color = raw2out_color(cfg, raw_color)
+
+    decoded = jnp.concatenate([alpha, color], axis=-1)   # (B,R,SR,4)
+    decoded = decoded * ray_valid[..., None].astype(decoded.dtype)
+    return decoded, ray_valid, weight, conf_coefficient

@@ -1,0 +1,184 @@
+"""Persistent voxel grid over a neural point cloud.
+
+TPU-native replacement for the reference's occupancy-build CUDA kernels
+(`claim_occ`, `map_coor2occ`, `fill_occ2pnts` in
+/root/reference/models/neural_points/query_point_indices_worldcoords.py:265-410).
+
+Design deltas from the reference (deliberate, TPU-first):
+  * The grid is PERSISTENT: it is rebuilt only when the point set changes
+    (set/grow/prune), not on every forward call. During per-scene fine-tuning
+    the point positions are frozen (`xyz_grad=0`), so the reference's
+    per-forward rebuild of a 4.2M-point grid is pure waste.
+  * Construction is a deterministic sort-based XLA program (argsort by voxel id
+    + segment ranks) instead of atomicCAS claiming with wall-clock-seeded
+    reservoir sampling. Overflow beyond `max_o` voxels / `P` points per voxel
+    truncates deterministically by point order.
+  * All shapes are static given a `GridSpec`, so the build and every consumer
+    jit cleanly; the spec is computed host-side once per scene.
+
+Data structures match the reference semantically:
+  * `occ_mask`   — dense (X,Y,Z) uint8, voxel occupancy dilated by kernel_size
+                   (reference `coor_occ`), used to mask ray samples;
+  * `vox_slot`   — dense (X,Y,Z) int32, occupied-voxel slot or -1
+                   (reference `coor_2_occ`);
+  * `bucket_pnts`— (max_o, P) int32 point ids, -1 padded (reference `occ_2_pnts`);
+  * `bucket_cnt` — (max_o,) int32 (reference `occ_numpnts`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static grid geometry. Hashable: safe to close over in jit."""
+    min_corner: Tuple[float, float, float]   # world coords of voxel (0,0,0) corner
+    vsize: Tuple[float, float, float]        # SCALED voxel size (vsize*vscale)
+    vdim: Tuple[int, int, int]               # grid dims
+    max_o: int                               # max occupied voxels tracked
+    P: int                                   # max points kept per voxel
+    kernel_size: Tuple[int, int, int]        # occupancy dilation (and query) extent
+
+    @property
+    def min_corner_arr(self) -> jnp.ndarray:
+        return jnp.asarray(self.min_corner, dtype=jnp.float32)
+
+    @property
+    def vsize_arr(self) -> jnp.ndarray:
+        return jnp.asarray(self.vsize, dtype=jnp.float32)
+
+
+def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
+                      ranges=None) -> GridSpec:
+    """Host-side spec computation; mirrors `get_hyperparameters`
+    (query_point_indices_worldcoords.py:66-92): point bbox intersected with
+    `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    vsize = np.asarray(vsize, dtype=np.float64)
+    vscale = np.asarray(vscale, dtype=np.float64)
+    scaled_vsize = vsize * vscale
+    min_xyz = xyz.min(axis=0)
+    max_xyz = xyz.max(axis=0)
+    if ranges is not None:
+        ranges = np.asarray(ranges, dtype=np.float64)
+        min_xyz = np.maximum(min_xyz, ranges[:3])
+        max_xyz = np.minimum(max_xyz, ranges[3:])
+    ks = np.asarray(kernel_size, dtype=np.float64)
+    min_xyz = min_xyz - scaled_vsize * ks / 2
+    max_xyz = max_xyz + scaled_vsize * ks / 2
+    vdim = (max_xyz - min_xyz) / vsize
+    scaled_vdim = np.ceil(vdim / vscale).astype(np.int64)
+    return GridSpec(
+        min_corner=tuple(float(v) for v in min_xyz),
+        vsize=tuple(float(v) for v in scaled_vsize),
+        vdim=tuple(int(v) for v in scaled_vdim),
+        max_o=int(max_o),
+        P=int(P),
+        kernel_size=tuple(int(k) for k in np.asarray(kernel_size)),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PointGrid:
+    occ_mask: jnp.ndarray     # (X,Y,Z) uint8 dilated occupancy
+    vox_slot: jnp.ndarray     # (X,Y,Z) int32 slot or -1 (undilated)
+    bucket_pnts: jnp.ndarray  # (max_o, P) int32 point ids, -1 padded
+    bucket_cnt: jnp.ndarray   # (max_o,) int32
+    spec: GridSpec            # static
+
+    def tree_flatten(self):
+        return ((self.occ_mask, self.vox_slot, self.bucket_pnts,
+                 self.bucket_cnt), self.spec)
+
+    @classmethod
+    def tree_unflatten(cls, spec, children):
+        return cls(*children, spec=spec)
+
+
+def voxel_coords(xyz: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    """World position -> integer voxel coords (may be out of bounds)."""
+    return jnp.floor(
+        (xyz - spec.min_corner_arr) / spec.vsize_arr).astype(jnp.int32)
+
+
+def in_bounds(coords: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    vdim = jnp.asarray(spec.vdim, dtype=jnp.int32)
+    return jnp.all((coords >= 0) & (coords < vdim), axis=-1)
+
+
+def linear_vid(coords: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    X, Y, Z = spec.vdim
+    return (coords[..., 0] * (Y * Z) + coords[..., 1] * Z + coords[..., 2])
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
+                     spec: GridSpec) -> PointGrid:
+    """Build the grid from (N,3) world points; point_mask (N,) bool marks live
+    points (capacity padding)."""
+    N = xyz.shape[0]
+    X, Y, Z = spec.vdim
+    nvox = X * Y * Z
+
+    coords = voxel_coords(xyz, spec)
+    valid = point_mask & in_bounds(coords, spec)
+    vid = jnp.where(valid, linear_vid(coords, spec), nvox)  # sentinel = nvox
+
+    order = jnp.argsort(vid)          # stable: ties by point index
+    svid = vid[order]
+    pvalid = svid < nvox
+
+    is_first = jnp.concatenate(
+        [pvalid[:1], (svid[1:] != svid[:-1]) & pvalid[1:]])
+    occ_rank = jnp.cumsum(is_first) - 1          # slot per sorted point
+    slot = jnp.where(pvalid & (occ_rank < spec.max_o), occ_rank, -1)
+
+    # rank of each point within its voxel segment
+    arange = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jnp.where(is_first, arange, 0)
+    seg_start = jax.lax.cummax(seg_start)
+    rank = arange - seg_start
+
+    # dense voxel -> slot map (scatter first-point slots; OOB sentinel drops)
+    scatter_vid = jnp.where(is_first & (slot >= 0), svid, nvox)
+    vox_slot = jnp.full((nvox,), -1, dtype=jnp.int32).at[scatter_vid].set(
+        slot.astype(jnp.int32), mode="drop")
+
+    # bucket table: (max_o, P) point ids
+    bucket_pnts = jnp.full((spec.max_o, spec.P), -1, dtype=jnp.int32)
+    bslot = jnp.where((slot >= 0) & (rank < spec.P), slot, spec.max_o)
+    brank = jnp.clip(rank, 0, spec.P - 1)
+    bucket_pnts = bucket_pnts.at[bslot, brank].set(
+        order.astype(jnp.int32), mode="drop")
+
+    # per-voxel count (clipped at P)
+    ones = jnp.where(slot >= 0, 1, 0)
+    bucket_cnt = jnp.zeros((spec.max_o,), dtype=jnp.int32).at[
+        jnp.where(slot >= 0, slot, spec.max_o)].add(ones, mode="drop")
+    bucket_cnt = jnp.minimum(bucket_cnt, spec.P)
+
+    # dilated occupancy mask: scatter occupancy then 3D max-pool by kernel_size
+    occ = (vox_slot.reshape(X, Y, Z) >= 0).astype(jnp.uint8)
+    kx, ky, kz = spec.kernel_size
+    occ_mask = jax.lax.reduce_window(
+        occ, jnp.uint8(0), jax.lax.max,
+        window_dimensions=(kx, ky, kz),
+        window_strides=(1, 1, 1),
+        # floor/ceil padding mirrors the reference's [-k/2, (k+1)/2) window
+        padding=((kx // 2, (kx - 1) // 2), (ky // 2, (ky - 1) // 2),
+                 (kz // 2, (kz - 1) // 2)))
+
+    return PointGrid(
+        occ_mask=occ_mask,
+        vox_slot=vox_slot.reshape(X, Y, Z),
+        bucket_pnts=bucket_pnts,
+        bucket_cnt=bucket_cnt,
+        spec=spec,
+    )
