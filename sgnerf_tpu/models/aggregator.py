@@ -163,9 +163,13 @@ def _dist_weights(cfg: AggregatorConfig, dists, pnt_mask):
     """dists (B,R,SR,K,dist_dim) -> weights (B,R,SR,K). Reference :465-514."""
     kern = cfg.agg_distance_kernel
     m = pnt_mask.astype(dists.dtype)
+
+    def safe_norm(x):
+        # sqrt has an inf gradient at 0; clip inside so grads stay finite
+        return jnp.sqrt(jnp.clip(jnp.sum(jnp.square(x), axis=-1), min=1e-12))
+
     if kern == "linear":
-        w = 1.0 / jnp.clip(
-            jnp.linalg.norm(dists[..., :3], axis=-1), min=1e-6)
+        w = 1.0 / jnp.clip(safe_norm(dists[..., :3]), min=1e-6)
         return m * w
     if kern == "quadric":
         w = 1.0 / jnp.clip(
@@ -174,7 +178,7 @@ def _dist_weights(cfg: AggregatorConfig, dists, pnt_mask):
     if kern == "avg":
         return m
     if kern == "numlinear":
-        w = 1.0 / jnp.clip(jnp.linalg.norm(dists, axis=-1), min=1e-6)
+        w = 1.0 / jnp.clip(safe_norm(dists), min=1e-6)
         w = m * w
         return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
     if kern == "numquadric":

@@ -1,0 +1,189 @@
+"""The full rendering forward pass: rays -> query -> gather -> aggregate ->
+volume march -> output dict.
+
+Functional re-design of `NeuralPointsRayMarching.forward`
+(/root/reference/models/neural_points_volumetric_model.py:435-668) plus
+`NeuralPoints.forward`'s gather stage (neural_points.py:942-988).
+
+TPU-first deltas:
+  * rays are never compacted: a ray whose samples hit no occupied voxel gets
+    sigma == 0 everywhere, so background_transmission == 1 and the ray renders
+    to bg_color — exactly what the reference's `fill_invalid` scatter
+    reconstructs (neural_points_volumetric_model.py:158-195), with no dynamic
+    shapes;
+  * perspective coords are computed on the gathered K neighbors only, not on
+    the full 4.2M-point cloud per step (reference w2pers over self.xyz,
+    neural_points.py:762);
+  * the whole function jits; randomness is an explicit key.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import w2pers
+from ..ops.raygen import find_ray_generation_method
+from ..ops.march import (ray_march, ray_dist_from_z, find_render_function,
+                         find_blend_function, find_tone_map)
+from ..ops.grid import PointGrid
+from ..ops.query import query_neighbors
+from .aggregator import AggregatorConfig, aggregate
+from .point_cloud import NeuralPointCloud
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render/query configuration (canonical ScanNet values from
+    dev_scripts/myexp_scannet_colmap/scene0241_02_semanticGuidance.sh)."""
+    agg: AggregatorConfig = AggregatorConfig()
+    z_depth_dim: int = 400           # raw samples per ray (D)
+    SR: int = 24                     # shading points per ray
+    K: int = 8                       # neighbors per shading point
+    vsize: Tuple[float, float, float] = (0.008, 0.008, 0.008)
+    radius_limit_scale: float = 4.0
+    which_ray_generation: str = "near_far_linear"
+    which_render_func: str = "radiance"
+    which_blend_func: str = "alpha"
+    which_tonemap_func: str = "off"
+    raydist_mode_unit: int = 1
+    semantic_guidance: int = 0
+    predict_semantic: int = 0
+    jitter: float = 0.3              # train-time sample jitter fraction
+
+    @property
+    def radius_limit(self) -> float:
+        return self.radius_limit_scale * max(self.vsize[0], self.vsize[1])
+
+
+@partial(jax.jit, static_argnames=("cfg", "is_train", "prob"))
+def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
+                grid: PointGrid, cfg: RenderConfig, *,
+                campos: jnp.ndarray,        # (B,3)
+                raydir: jnp.ndarray,        # (B,R,3)
+                camrotc2w: jnp.ndarray,     # (B,3,3)
+                near: float, far: float,
+                bg_color: Optional[jnp.ndarray] = None,   # (3,)
+                pixel_label: Optional[jnp.ndarray] = None,  # (B,R) int
+                key: Optional[jax.Array] = None,
+                is_train: bool = False,
+                prob: bool = False) -> Dict[str, jnp.ndarray]:
+    B, R, _ = raydir.shape
+    agg = cfg.agg
+
+    kj = ks = None
+    if key is not None:
+        kj, ks = jax.random.split(key)
+
+    raygen = find_ray_generation_method(cfg.which_ray_generation)
+    raypos, _, _, _ = raygen(
+        campos, raydir, cfg.z_depth_dim, near=near, far=far,
+        jitter=cfg.jitter if is_train else 0.0, key=kj)
+
+    use_sem = bool(cfg.semantic_guidance) and is_train and pixel_label is not None
+    q = query_neighbors(
+        grid, cloud.xyz, raypos, K=cfg.K, SR=cfg.SR,
+        radius_limit=cfg.radius_limit,
+        ray_label=pixel_label if use_sem else None,
+        points_label=cloud.label if use_sem else None,
+        points_label_prob=cloud.label_prob if use_sem else None,
+        key=ks, semantic_guidance=use_sem)
+
+    sample_pidx = q.sample_pidx                      # (B,R,SR,K)
+    sample_pnt_mask = sample_pidx >= 0
+    pid = jnp.clip(sample_pidx, 0, cloud.capacity - 1).astype(jnp.int32)
+
+    sampled_xyz = cloud.xyz[pid]                     # (B,R,SR,K,3)
+    sampled_embedding = cloud.embedding[pid]
+    sampled_color = cloud.color[pid]
+    sampled_dir = cloud.dir[pid]
+    sampled_conf = cloud.conf[pid]
+    sampled_sem = cloud.sem_embedding[pid] if cfg.semantic_guidance else None
+
+    # zero out padding gathers so masked rows stay finite
+    m = sample_pnt_mask[..., None].astype(sampled_xyz.dtype)
+    sampled_xyz = sampled_xyz * m
+    sampled_embedding = sampled_embedding * m
+
+    # perspective coords per batch camera (vmapped over B)
+    pers = jax.vmap(w2pers)(
+        sampled_xyz.reshape(B, -1, 3), camrotc2w, campos).reshape(
+            sampled_xyz.shape)
+    sample_loc = jax.vmap(w2pers)(
+        q.sample_loc_w.reshape(B, -1, 3), camrotc2w, campos).reshape(
+            q.sample_loc_w.shape)
+
+    sample_ray_dirs = jnp.broadcast_to(
+        raydir[:, :, None, :], (B, R, cfg.SR, 3))
+
+    decoded, ray_valid, weight, conf_coefficient = aggregate(
+        params, agg,
+        sampled_embedding=sampled_embedding,
+        sampled_color=sampled_color,
+        sampled_dir=sampled_dir,
+        sampled_conf=sampled_conf,
+        sampled_label_embedding=sampled_sem,
+        sampled_xyz=sampled_xyz,
+        sampled_xyz_pers=pers,
+        sample_pnt_mask=sample_pnt_mask,
+        sample_loc=sample_loc,
+        sample_loc_w=q.sample_loc_w,
+        sample_ray_dirs=sample_ray_dirs,
+        Rw2c=cloud.Rw2c,
+        vsize=cfg.vsize)
+
+    ray_dist = ray_dist_from_z(
+        sample_loc[..., 2], ray_valid, cfg.vsize[2], cfg.raydist_mode_unit)
+
+    render_func = find_render_function(cfg.which_render_func)
+    blend_func = find_blend_function(cfg.which_blend_func)
+    tone_map = find_tone_map(cfg.which_tonemap_func)
+
+    (ray_color, point_color, opacity, acc_transmission, blend_weight,
+     background_transmission, _) = ray_march(
+        ray_dist, ray_valid, decoded, render_func, blend_func, bg_color)
+    ray_color = tone_map(ray_color)
+
+    output: Dict[str, jnp.ndarray] = {
+        "coarse_raycolor": ray_color,                       # (B,R,3)
+        "coarse_point_opacity": opacity,                    # (B,R,SR)
+        "coarse_is_background": background_transmission,    # (B,R,1)
+        "queried_shading": jnp.broadcast_to(
+            jnp.logical_not(jnp.any(ray_valid, axis=-1, keepdims=True)
+                            ).astype(jnp.float32), (B, R, 3)),
+        "ray_mask": q.ray_mask,                             # (B,R) bool
+        "ray_valid": ray_valid,
+        "weight": jax.lax.stop_gradient(weight),
+        "blend_weight": jax.lax.stop_gradient(blend_weight),
+        "conf_coefficient": conf_coefficient,
+    }
+
+    if prob:
+        # point-growing probes (reference :633-668): per ray, stats at the
+        # max-opacity shading point
+        op = output["coarse_point_opacity"]                  # (B,R,SR)
+        max_op = jnp.max(op, axis=-1, keepdims=True)
+        ind = jnp.argmax(op, axis=-1)                        # (B,R)
+        def take(a):
+            idx = ind.reshape(B, R, 1, *([1] * (a.ndim - 3)))
+            idx = jnp.broadcast_to(idx, (B, R, 1) + a.shape[3:])
+            return jnp.take_along_axis(a, idx, axis=2)[:, :, 0]
+        output["ray_max_shading_opacity"] = max_op           # (B,R,1)
+        output["ray_max_sample_loc_w"] = take(q.sample_loc_w)  # (B,R,3)
+        wsel = take(weight * conf_coefficient)[..., None]    # (B,R,K,1)
+        xyz_sel = take(sampled_xyz)                          # (B,R,K,3)
+        output["ray_max_far_dist"] = jnp.min(
+            jnp.linalg.norm(
+                xyz_sel - output["ray_max_sample_loc_w"][:, :, None, :],
+                axis=-1), axis=-1, keepdims=True)
+        output["shading_avg_color"] = jnp.sum(take(sampled_color) * wsel, -2)
+        output["shading_avg_dir"] = jnp.sum(take(sampled_dir) * wsel, -2)
+        output["shading_avg_conf"] = jnp.sum(take(sampled_conf) * wsel, -2)
+        output["shading_avg_embedding"] = jnp.sum(
+            take(sampled_embedding) * wsel, -2)
+
+    return output

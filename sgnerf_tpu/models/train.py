@@ -1,0 +1,177 @@
+"""Training state and the jitted training step.
+
+Functional re-design of `MvsPointsVolumetricModel`'s optimizer stack
+(/root/reference/models/mvs_points_volumetric_model.py:47-141):
+  * two Adam optimizers — shading MLPs at `lr`, per-point tensors at `plr` —
+    with the `iter_exponential_decay` schedule
+    (helpers/networks.py get_scheduler: factor = lr_decay_exp^(it/decay_iters));
+  * per-tensor gradient switches (feat/conf/color/dir/xyz_grad,
+    neural_points.py:410-420) become optax masks;
+  * `alter_step` alternating stepping (:134-141) becomes a step-parity gate on
+    the update.
+
+The whole step — forward, losses, backward, both updates — is ONE jitted
+function; under a device mesh the rays axis shards and gradients psum over ICI
+(see parallel/).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .aggregator import AggregatorConfig
+from .losses import compute_losses
+from .point_cloud import NeuralPointCloud
+from .renderer import RenderConfig, render_rays
+from ..ops.grid import PointGrid
+
+
+POINT_FIELDS = ("embedding", "conf", "color", "dir", "xyz")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-4
+    plr: float = 2e-3
+    lr_policy: str = "iter_exponential_decay"
+    lr_decay_iters: int = 1000000
+    lr_decay_exp: float = 0.1
+    alter_step: int = 0
+    # per-tensor grad switches (reference flags feat_grad etc.)
+    feat_grad: int = 1
+    conf_grad: int = 1
+    color_grad: int = 1
+    dir_grad: int = 0
+    xyz_grad: int = 0
+    # loss config
+    color_loss_items: Tuple[str, ...] = (
+        "ray_masked_coarse_raycolor", "ray_miss_coarse_raycolor",
+        "coarse_raycolor")
+    color_loss_weights: Tuple[float, ...] = (1.0, 0.0, 0.0)
+    zero_one_loss_items: Tuple[str, ...] = ("conf_coefficient",)
+    zero_one_loss_weights: Tuple[float, ...] = (0.0001,)
+    sparse_loss_weight: float = 0.0
+    zero_epsilon: float = 1e-3
+
+    def grad_switch(self, field: str) -> bool:
+        return bool({
+            "embedding": self.feat_grad, "conf": self.conf_grad,
+            "color": self.color_grad, "dir": self.dir_grad,
+            "xyz": self.xyz_grad}[field])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, Any]          # shading MLP params
+    cloud: NeuralPointCloud
+    opt_state_net: Any
+    opt_state_pts: Any
+    step: jnp.ndarray               # () int32
+
+
+def _schedule(tcfg: TrainConfig, base_lr: float):
+    if tcfg.lr_policy == "iter_exponential_decay":
+        def fn(count):
+            return base_lr * tcfg.lr_decay_exp ** (
+                count / tcfg.lr_decay_iters)
+        return fn
+    return lambda count: base_lr
+
+
+def make_optimizers(tcfg: TrainConfig):
+    """Returns (net_tx, pts_tx). pts_tx is masked per grad switches."""
+    net_tx = optax.adam(_schedule(tcfg, tcfg.lr), b1=0.9, b2=0.999)
+
+    labels = {f: ("train" if tcfg.grad_switch(f) else "freeze")
+              for f in POINT_FIELDS}
+    pts_tx = optax.multi_transform(
+        {"train": optax.adam(_schedule(tcfg, tcfg.plr), b1=0.9, b2=0.999),
+         "freeze": optax.set_to_zero()},
+        labels)
+    return net_tx, pts_tx
+
+
+def _point_subtree(cloud: NeuralPointCloud) -> Dict[str, jnp.ndarray]:
+    return {"embedding": cloud.embedding, "conf": cloud.conf,
+            "color": cloud.color, "dir": cloud.dir, "xyz": cloud.xyz}
+
+
+def _with_points(cloud: NeuralPointCloud, pts: Dict[str, jnp.ndarray]):
+    return dataclasses.replace(cloud, **pts)
+
+
+def create_train_state(params, cloud, tcfg: TrainConfig) -> TrainState:
+    net_tx, pts_tx = make_optimizers(tcfg)
+    return TrainState(
+        params=params,
+        cloud=cloud,
+        opt_state_net=net_tx.init(params),
+        opt_state_pts=pts_tx.init(_point_subtree(cloud)),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
+               tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step.
+
+    batch: campos (B,3), raydir (B,R,3), camrotc2w (B,3,3), gt_image (B,R,3),
+    near/far scalars, bg_color (3,), optional pixel_label (B,R).
+    """
+    net_tx, pts_tx = make_optimizers(tcfg)
+
+    def loss_fn(params, pts):
+        cloud = _with_points(state.cloud, pts)
+        out = render_rays(
+            params, cloud, grid, cfg,
+            campos=batch["campos"], raydir=batch["raydir"],
+            camrotc2w=batch["camrotc2w"], near=batch["near"],
+            far=batch["far"], bg_color=batch.get("bg_color"),
+            pixel_label=batch.get("pixel_label"), key=key, is_train=True)
+        total, losses = compute_losses(
+            out, batch["gt_image"],
+            color_loss_items=tcfg.color_loss_items,
+            color_loss_weights=tcfg.color_loss_weights,
+            zero_one_loss_items=tcfg.zero_one_loss_items,
+            zero_one_loss_weights=tcfg.zero_one_loss_weights,
+            sparse_loss_weight=tcfg.sparse_loss_weight,
+            zero_epsilon=tcfg.zero_epsilon)
+        return total, losses
+
+    pts = _point_subtree(state.cloud)
+    (_, losses), (g_net, g_pts) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params, pts)
+
+    # alter_step gating (reference :134-141): phase 0 steps the MLPs,
+    # phase 1 the point tensors; alter_step == 0 steps both every iter.
+    if tcfg.alter_step > 0:
+        phase = (state.step // tcfg.alter_step) % 3
+        net_scale = (phase == 0).astype(jnp.float32)
+        pts_scale = (phase == 1).astype(jnp.float32)
+    else:
+        net_scale = pts_scale = jnp.asarray(1.0)
+
+    up_net, os_net = net_tx.update(g_net, state.opt_state_net, state.params)
+    up_net = jax.tree.map(lambda u: u * net_scale, up_net)
+    params = optax.apply_updates(state.params, up_net)
+
+    up_pts, os_pts = pts_tx.update(g_pts, state.opt_state_pts, pts)
+    up_pts = jax.tree.map(lambda u: u * pts_scale, up_pts)
+    pts = optax.apply_updates(pts, up_pts)
+
+    new_state = TrainState(
+        params=params,
+        cloud=_with_points(state.cloud, pts),
+        opt_state_net=os_net,
+        opt_state_pts=os_pts,
+        step=state.step + 1,
+    )
+    return new_state, losses

@@ -1,0 +1,105 @@
+"""End-to-end render smoke tests on a synthetic point cloud."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgnerf_tpu.models.aggregator import AggregatorConfig, init_aggregator_params
+from sgnerf_tpu.models.point_cloud import (
+    make_point_cloud, build_grid, grid_spec_for_cloud)
+from sgnerf_tpu.models.renderer import RenderConfig, render_rays
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    n = 2000
+    # points on a unit sphere at origin
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+    cloud = make_point_cloud(
+        xyz, emb, color=(xyz * 0.5 + 0.5).astype(np.float32),
+        dir=xyz, capacity=2048)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.05] * 3, vscale=[2, 2, 2],
+                               kernel_size=[3, 3, 3], max_o=8192, P=16)
+    grid = build_grid(cloud, spec)
+    cfg = RenderConfig(
+        agg=AggregatorConfig(act_type="LeakyReLU"),
+        z_depth_dim=80, SR=8, K=4, vsize=(0.05, 0.05, 0.05),
+    )
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    return cloud, grid, cfg, params
+
+
+def _cam(R=64):
+    rng = np.random.default_rng(1)
+    campos = jnp.asarray([[0.0, 0.0, -3.0]])
+    # rays toward the sphere + a few that miss entirely
+    d = rng.normal(size=(1, R, 3)).astype(np.float32) * 0.2
+    d[..., 2] = 1.0
+    d[:, :4, 1] += 10.0  # these rays miss
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rot = jnp.eye(3)[None]
+    return campos, jnp.asarray(d), rot
+
+
+def test_render_shapes_and_finite(scene):
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam()
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    out = render_rays(params, cloud, grid, cfg, campos=campos, raydir=raydir,
+                      camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+    B, R = raydir.shape[:2]
+    assert out["coarse_raycolor"].shape == (B, R, 3)
+    assert out["ray_mask"].shape == (B, R)
+    assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+    # some rays hit, some missed
+    rm = np.asarray(out["ray_mask"])
+    assert rm.any() and not rm.all()
+
+
+def test_missed_rays_render_background(scene):
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam()
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+    out = render_rays(params, cloud, grid, cfg, campos=campos, raydir=raydir,
+                      camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+    rm = np.asarray(out["ray_mask"])
+    col = np.asarray(out["coarse_raycolor"])
+    missed = col[~rm]
+    np.testing.assert_allclose(missed, np.broadcast_to(np.asarray(bg), missed.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["coarse_is_background"])[~rm][:, 0], 1.0, atol=1e-6)
+
+
+def test_render_is_differentiable(scene):
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam(R=16)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    target = jnp.zeros((1, 16, 3))
+
+    def loss_fn(p, c):
+        out = render_rays(p, c, grid, cfg, campos=campos, raydir=raydir,
+                          camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+        return jnp.mean((out["coarse_raycolor"] - target) ** 2)
+
+    g_params, g_cloud = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(
+        params, cloud)
+    flat, _ = jax.tree_util.tree_flatten(g_params)
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in flat)
+    assert np.isfinite(np.asarray(g_cloud.embedding)).all()
+    assert np.abs(np.asarray(g_cloud.embedding)).sum() > 0
+
+
+def test_prob_mode_outputs(scene):
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam(R=16)
+    out = render_rays(params, cloud, grid, cfg, campos=campos, raydir=raydir,
+                      camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=jnp.ones(3), prob=True)
+    assert out["ray_max_shading_opacity"].shape == (1, 16, 1)
+    assert out["ray_max_sample_loc_w"].shape == (1, 16, 3)
+    assert out["shading_avg_embedding"].shape[-1] == 32
+    assert np.isfinite(np.asarray(out["ray_max_far_dist"])).all()

@@ -1,0 +1,89 @@
+"""Training-step tests: loss decreases when overfitting a tiny scene."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgnerf_tpu.models.aggregator import AggregatorConfig, init_aggregator_params
+from sgnerf_tpu.models.point_cloud import (
+    make_point_cloud, build_grid, grid_spec_for_cloud, prune, grow)
+from sgnerf_tpu.models.renderer import RenderConfig, render_rays
+from sgnerf_tpu.models.train import TrainConfig, create_train_state, train_step
+
+
+@pytest.fixture()
+def setup():
+    # train_step donates its state, so every test needs a fresh cloud
+    rng = np.random.default_rng(0)
+    n = 1000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+    cloud = make_point_cloud(xyz, emb, color=(xyz * .5 + .5), dir=xyz,
+                             capacity=1200)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.08] * 3, vscale=[1, 1, 1],
+                               kernel_size=[3, 3, 3], max_o=8192, P=16)
+    grid = build_grid(cloud, spec)
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=64, SR=8, K=4,
+                       vsize=(0.08, 0.08, 0.08))
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    return cloud, grid, cfg, params
+
+
+def _batch(R=128, seed=1):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(1, R, 3)).astype(np.float32) * 0.25
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+        "raydir": jnp.asarray(d),
+        "camrotc2w": jnp.eye(3)[None],
+        "near": jnp.asarray(1.0),
+        "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0.2, 0.8, size=(1, R, 3)).astype(np.float32)),
+    }
+
+
+def test_overfit_reduces_loss(setup):
+    cloud, grid, cfg, params = setup
+    tcfg = TrainConfig(lr=2e-3, plr=5e-3, lr_decay_iters=10**9)
+    state = create_train_state(params, cloud, tcfg)
+    batch = _batch()
+    key = jax.random.key(42)
+    first = None
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, losses = train_step(state, grid, cfg, tcfg, batch, k)
+        if first is None:
+            first = float(losses["ray_masked_coarse_raycolor"])
+    last = float(losses["ray_masked_coarse_raycolor"])
+    assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+
+
+def test_frozen_fields_do_not_move(setup):
+    cloud, grid, cfg, params = setup
+    tcfg = TrainConfig(dir_grad=0, xyz_grad=0)
+    state = create_train_state(params, cloud, tcfg)
+    batch = _batch()
+    xyz0 = np.asarray(state.cloud.xyz)
+    dir0 = np.asarray(state.cloud.dir)
+    state, _ = train_step(state, grid, cfg, tcfg, batch, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(state.cloud.xyz), xyz0)
+    np.testing.assert_array_equal(np.asarray(state.cloud.dir), dir0)
+    # embedding did move
+    assert np.abs(np.asarray(state.cloud.embedding)).sum() > 0
+
+
+def test_prune_and_grow_shapes(setup):
+    cloud, grid, cfg, params = setup
+    n0 = int(cloud.n_active)
+    pruned = prune(cloud, thresh=2.0)  # conf all 1.0 -> prunes everything
+    assert int(pruned.n_active) == 0
+    g = grow(cloud, jnp.zeros((50, 3)), jnp.zeros((50, 32)),
+             jnp.ones((50, 1)), jnp.zeros((50, 3)), jnp.zeros((50, 3)))
+    assert int(g.n_active) == n0 + 50
+    assert g.capacity == cloud.capacity
