@@ -1,0 +1,96 @@
+"""Benchmark: rendering throughput (rays/sec) at the canonical ScanNet config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: jitted neural-point render at the reference's canonical evaluation
+configuration (SR=24 shading points/ray, K=8 neighbors, 400 raw samples/ray —
+dev_scripts/.../scene0241_02_semanticGuidance.sh), test-time chunks of 2304
+rays (48^2, run/test_ft.py:331), on a synthetic room-scale point cloud.
+
+vs_baseline: the repo publishes no reference numbers (BASELINE.md). We use a
+nominal 25k rays/s for a Point-NeRF-class renderer on an A100-class GPU as the
+denominator (the order of magnitude implied by its per-frame render timings);
+the BASELINE.json north star is >=10x that on a v5e-8, i.e. vs_baseline >= 10
+at 8-chip scale / >= 1.25 per chip.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_RAYS_PER_SEC = 25_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sgnerf_tpu.models.aggregator import (
+        AggregatorConfig, init_aggregator_params)
+    from sgnerf_tpu.models.point_cloud import (
+        make_point_cloud, build_grid, grid_spec_for_cloud)
+    from sgnerf_tpu.models.renderer import RenderConfig, render_rays
+
+    rng = np.random.default_rng(0)
+    n_points = 1_000_000
+    # synthetic "room": points on walls/floor of a box plus interior clutter
+    walls = rng.uniform(-2, 2, size=(n_points // 2, 3)).astype(np.float32)
+    ax = rng.integers(0, 3, size=n_points // 2)
+    sign = rng.integers(0, 2, size=n_points // 2) * 2 - 1
+    walls[np.arange(n_points // 2), ax] = 2.0 * sign
+    clutter = rng.normal(scale=0.7, size=(n_points - n_points // 2, 3)
+                         ).astype(np.float32)
+    xyz = np.concatenate([walls, clutter])
+    emb = (rng.normal(size=(n_points, 32)) * 0.1).astype(np.float32)
+    cloud = make_point_cloud(xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
+                             dir=xyz / np.linalg.norm(xyz, axis=-1,
+                                                      keepdims=True))
+    spec = grid_spec_for_cloud(
+        cloud, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
+        max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3)
+    grid = build_grid(cloud, spec)
+    jax.block_until_ready(grid.bucket_pnts)
+
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=400, SR=24, K=8,
+                       vsize=(0.008, 0.008, 0.008))
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+
+    R = 2304  # 48^2, the reference's test chunk
+    d = (rng.normal(size=(1, R, 3)) * 0.3).astype(np.float32)
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    campos = jnp.asarray([[0.0, 0.0, -1.5]])
+    raydir = jnp.asarray(d)
+    rot = jnp.eye(3, dtype=np.float32)[None]
+    bg = jnp.ones(3)
+
+    def step(raydir):
+        out = render_rays(params, cloud, grid, cfg, campos=campos,
+                          raydir=raydir, camrotc2w=rot, near=0.1, far=8.0,
+                          bg_color=bg)
+        return out["coarse_raycolor"]
+
+    # warmup/compile
+    jax.block_until_ready(step(raydir))
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        col = step(raydir)
+    jax.block_until_ready(col)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = R * iters / dt
+    frames_per_sec = rays_per_sec / (640 * 480)
+    print(json.dumps({
+        "metric": "scannet_640x480_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+        "extra": {"frames_per_sec_640x480": round(frames_per_sec, 3),
+                  "chunk": R, "iters": iters, "SR": 24, "K": 8, "D": 400,
+                  "n_points": n_points},
+    }))
+
+
+if __name__ == "__main__":
+    main()

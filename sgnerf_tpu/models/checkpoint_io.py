@@ -1,0 +1,176 @@
+"""Checkpoint I/O: native format + reference PyTorch `.pth` conversion.
+
+Reference checkpoint layout ({iter}_net_ray_marching.pth, a flat state_dict of
+`NeuralPointsRayMarching` — /root/reference/models/base_model.py:85-102, load
+at neural_points.py:321-383):
+  * neural_points.xyz                  [N,3]
+  * neural_points.points_embeding      [1,N,32]
+  * neural_points.points_conf          [1,N,1]
+  * neural_points.points_dir           [1,N,3]
+  * neural_points.points_color         [1,N,3]
+  * neural_points.points_feats         [N,3]
+  * neural_points.points_label         [N,1] (optional)
+  * neural_points.Rw2c                 [3,3] (optional)
+  * aggregator.block1.{0,2}.weight/bias          (Sequential: Linear at even idx)
+  * aggregator.block2_bpnet.{0,..}.weight/bias   (optional)
+  * aggregator.alpha_branch.{0}.weight/bias
+  * aggregator.color_branch.{0,2,4,6}.weight/bias
+Torch Linear stores weight as [out,in]; ours is [in,out].
+
+A separate {iter}_states.pth holds counters (epoch/total_steps/best_PSNR,
+run/train_ft.py:613-648). The 96-d BPNet point embedding is saved as
+{iter}_semanticEmbedding.pth (neural_points_volumetric_model.py:674-681).
+
+Native format: a single .npz of flattened key paths (no pickle), plus a JSON
+sidecar for counters.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------- native format
+
+def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray]):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(f"{prefix}/{k}" if prefix else str(k), v, out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(f"{prefix}/{i}", v, out)
+    elif tree is None:
+        pass
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+
+    def listify(d):
+        if not isinstance(d, dict):
+            return d
+        keys = list(d.keys())
+        if keys and all(re.fullmatch(r"\d+", k) for k in keys):
+            return [listify(d[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in d.items()}
+
+    return listify(root)
+
+
+def save_native(path: str, tree: Any, meta: Optional[Dict] = None):
+    flat: Dict[str, np.ndarray] = {}
+    _flatten("", tree, flat)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_native(path: str) -> Tuple[Any, Optional[Dict]]:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = None
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return _unflatten(flat), meta
+
+
+# ------------------------------------------------------- reference .pth import
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out = {}
+    for k, v in sd.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _seq_layers(sd: Dict[str, np.ndarray], prefix: str):
+    """Collect Linear layers of a torch Sequential in index order."""
+    pat = re.compile(rf"^{re.escape(prefix)}\.(\d+)\.weight$")
+    idxs = sorted(int(m.group(1)) for k in sd if (m := pat.match(k)))
+    return [{"w": np.ascontiguousarray(sd[f"{prefix}.{i}.weight"].T.copy()),
+             "b": sd[f"{prefix}.{i}.bias"].copy()} for i in idxs]
+
+
+def convert_reference_checkpoint(sd: Dict[str, np.ndarray]):
+    """Split a reference state dict into (aggregator params, point arrays).
+
+    Returns (params, points) where points has keys xyz/embedding/conf/dir/
+    color/feats/label/Rw2c (None when absent)."""
+    params: Dict[str, Any] = {}
+    for block in ("block1", "block2", "block2_bpnet", "block3",
+                  "alpha_branch", "color_branch"):
+        layers = _seq_layers(sd, f"aggregator.{block}")
+        if layers:
+            params[block] = layers
+
+    def squeeze(name):
+        a = sd.get(name)
+        if a is None:
+            return None
+        a = np.asarray(a, np.float32)
+        return a[0] if a.ndim == 3 and a.shape[0] == 1 else a
+
+    points = {
+        "xyz": sd.get("neural_points.xyz"),
+        "embedding": squeeze("neural_points.points_embeding"),
+        "conf": squeeze("neural_points.points_conf"),
+        "dir": squeeze("neural_points.points_dir"),
+        "color": squeeze("neural_points.points_color"),
+        "feats": sd.get("neural_points.points_feats"),
+        "label": sd.get("neural_points.points_label"),
+        "Rw2c": sd.get("neural_points.Rw2c"),
+    }
+    return params, points
+
+
+def export_reference_checkpoint(params: Dict[str, Any], points: Dict[str, Any],
+                                path: str):
+    """Write a reference-compatible .pth so reference tooling (Editor, eval)
+    can consume our checkpoints."""
+    import torch
+    sd = {}
+    for block, layers in params.items():
+        for li, layer in enumerate(layers):
+            sd[f"aggregator.{block}.{2 * li}.weight"] = torch.from_numpy(
+                np.ascontiguousarray(np.asarray(layer["w"]).T))
+            sd[f"aggregator.{block}.{2 * li}.bias"] = torch.from_numpy(
+                np.asarray(layer["b"]))
+
+    def unsqueeze(a):
+        return torch.from_numpy(np.asarray(a, np.float32))[None]
+
+    sd["neural_points.xyz"] = torch.from_numpy(
+        np.asarray(points["xyz"], np.float32))
+    for src, dst in (("embedding", "points_embeding"), ("conf", "points_conf"),
+                     ("dir", "points_dir"), ("color", "points_color")):
+        if points.get(src) is not None:
+            sd[f"neural_points.{dst}"] = unsqueeze(points[src])
+    if points.get("feats") is not None:
+        sd["neural_points.points_feats"] = torch.from_numpy(
+            np.asarray(points["feats"], np.float32))
+    if points.get("Rw2c") is not None:
+        sd["neural_points.Rw2c"] = torch.from_numpy(
+            np.asarray(points["Rw2c"], np.float32))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import torch as _t
+    _t.save(sd, path)

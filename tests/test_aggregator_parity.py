@@ -1,0 +1,149 @@
+"""Weight-level parity: our aggregator vs the reference PointAggregator.
+
+Constructs the actual reference torch module (pure-torch file, CPU-safe),
+copies its weights through the checkpoint converter, feeds both with
+identical inputs, and asserts the decoded (alpha, rgb) match to float32
+tolerance. This is the strongest possible evidence that converted reference
+checkpoints will render identically.
+"""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sgnerf_tpu.models.aggregator import AggregatorConfig, aggregate
+from sgnerf_tpu.models.checkpoint_io import convert_reference_checkpoint
+
+REF = "/root/reference"
+
+
+def _shim_scipy():
+    import scipy.special
+    if not hasattr(scipy.special, "sph_harm"):
+        scipy.special.sph_harm = scipy.special.sph_harm_y
+    if not hasattr(scipy.special, "lpmn"):
+        def lpmn(m, n, z):
+            P = np.zeros((m + 1, n + 1))
+            return P, P
+        scipy.special.lpmn = lpmn
+
+
+def _ref_aggregator(torch, predict_semantic=0, bpnet_layer=0):
+    _shim_scipy()
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+        mod = importlib.import_module("models.aggregators.point_aggregators")
+    finally:
+        sys.path.pop(0)
+
+    class Opt:
+        pass
+
+    o = Opt()
+    flags = dict(
+        act_type="LeakyReLU", point_hyper_dim=256, point_features_dim=32,
+        agg_distance_kernel="linear", agg_axis_weight=None, agg_dist_pers=20,
+        apply_pnt_mask=1, modulator_concat=0, agg_intrp_order=2,
+        shading_feature_mlp_layer0=1, shading_feature_mlp_layer1=2,
+        shading_feature_mlp_layer2=0,
+        shading_feature_mlp_layer2_bpnet=bpnet_layer,
+        shading_feature_mlp_layer3=0, shading_feature_mlp_layer4=1,
+        shading_feature_mlp_linear=0, shading_feature_num=256,
+        shading_alpha_mlp_layer=1, shading_color_mlp_layer=4,
+        shading_color_channel_num=3, num_feat_freqs=3, num_hyperfeat_freqs=0,
+        dist_xyz_freq=5, dist_xyz_deno=0, weight_xyz_freq=2, weight_feat_dim=8,
+        agg_weight_norm=1, view_ori=0, agg_feat_xyz_mode="None",
+        agg_alpha_xyz_mode="None", agg_color_xyz_mode="None", act_super=1,
+        num_pos_freqs=10, num_viewdir_freqs=4, which_agg_model="viewmlp",
+        sh_degree=4, sh_dist_func="sh_quadric", sh_act="sigmoid",
+        predict_semantic=predict_semantic, sparse_loss_weight=0,
+        zero_one_loss_items=["conf_coefficient"], prob=0,
+        feature_init_method="rand", point_color_mode="1", point_dir_mode="1")
+    for k, v in flags.items():
+        setattr(o, k, v)
+    return mod.PointAggregator(o), o
+
+
+def _inputs(seed=0, B=1, R=12, SR=5, K=4, F=32, with_sem=False):
+    rng = np.random.default_rng(seed)
+    mask = rng.uniform(size=(B, R, SR, K)) > 0.35
+    mask[:, 0] = False          # a fully-invalid ray
+    mask[:, 1, :, 1:] = False   # single-neighbor samples
+
+    def r(*shape, scale=1.0):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    loc_w = r(B, R, SR, 3)
+    xyz = loc_w[..., None, :] + r(B, R, SR, K, 3, scale=0.02)
+    loc = loc_w + np.array([0, 0, 3], np.float32)      # fake perspective
+    xyz_pers = xyz + np.array([0, 0, 3], np.float32)
+    m4 = mask[..., None]
+    data = dict(
+        sampled_color=r(B, R, SR, K, 3) * m4,
+        sampled_label_embedding=(r(B, R, SR, K, 96) * m4 if with_sem else None),
+        sampled_dir=r(B, R, SR, K, 3) * m4,
+        sampled_conf=np.abs(r(B, R, SR, K, 1)) * m4 + 0.5,
+        sampled_embedding=r(B, R, SR, K, F, scale=0.3) * m4,
+        sampled_xyz_pers=(xyz_pers * m4).astype(np.float32),
+        sampled_xyz=(xyz * m4).astype(np.float32),
+        sample_pnt_mask=mask,
+        sample_loc=loc.astype(np.float32),
+        sample_loc_w=loc_w,
+        sample_ray_dirs=r(B, R, SR, 3),
+    )
+    return data
+
+
+@pytest.mark.parametrize("with_sem", [False, True])
+def test_aggregator_matches_reference(with_sem):
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    ref, opt = _ref_aggregator(torch, predict_semantic=int(with_sem),
+                               bpnet_layer=1 if with_sem else 0)
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+
+    data = _inputs(with_sem=with_sem)
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, ref_w, ref_conf = ref(
+            t["sampled_color"], t["sampled_label_embedding"],
+            torch.eye(3), t["sampled_dir"], t["sampled_conf"],
+            t["sampled_embedding"], t["sampled_xyz_pers"], t["sampled_xyz"],
+            t["sample_pnt_mask"], t["sample_loc"], t["sample_loc_w"],
+            t["sample_ray_dirs"], vsize, 0.0)
+
+    cfg = AggregatorConfig(
+        predict_semantic=int(with_sem),
+        shading_feature_mlp_layer2_bpnet=1 if with_sem else 0)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, w, conf = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"],
+        sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"],
+        sampled_label_embedding=j["sampled_label_embedding"],
+        sampled_xyz=j["sampled_xyz"],
+        sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"],
+        sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.eye(3), vsize=vsize)
+
+    ref_out = ref_out.numpy()
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(w), ref_w.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=1e-3)

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgnerf_tpu.models.aggregator import AggregatorConfig, init_aggregator_params
+from sgnerf_tpu.models.point_cloud import (
+    make_point_cloud, build_grid, grid_spec_for_cloud)
+from sgnerf_tpu.models.renderer import RenderConfig
+from sgnerf_tpu.models.train import TrainConfig, create_train_state, train_step
+from sgnerf_tpu.parallel import make_mesh, sharded_train_step, shard_batch
+
+
+def _scene():
+    rng = np.random.default_rng(0)
+    n = 600
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+    cloud = make_point_cloud(xyz, emb, color=(xyz * .5 + .5), dir=xyz)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.1] * 3, vscale=[1, 1, 1],
+                               kernel_size=[3, 3, 3], max_o=4096, P=16)
+    grid = build_grid(cloud, spec)
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=32, SR=6, K=4,
+                       vsize=(0.1, 0.1, 0.1))
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    return cloud, grid, cfg, params
+
+
+def _batch(R):
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(1, R, 3)).astype(np.float32) * 0.25
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+        "raydir": jnp.asarray(d),
+        "camrotc2w": jnp.eye(3)[None],
+        "near": jnp.asarray(1.0),
+        "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0.2, 0.8, size=(1, R, 3)).astype(np.float32)),
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    cloud, grid, cfg, params = _scene()
+    tcfg = TrainConfig()
+    batch = _batch(R=64)
+    key = jax.random.key(7)
+
+    s1 = create_train_state(params, cloud, tcfg)
+    s1, losses1 = train_step(s1, grid, cfg, tcfg, batch, key)
+
+    cloud2, grid2, cfg2, params2 = _scene()
+    mesh = make_mesh(8)
+    s2 = create_train_state(params2, cloud2, tcfg)
+    s2, losses2 = sharded_train_step(s2, grid2, cfg2, tcfg, batch, key, mesh)
+
+    np.testing.assert_allclose(
+        float(losses1["total"]), float(losses2["total"]), rtol=1e-4)
+    a = np.asarray(jax.tree.leaves(s1.params)[0])
+    b = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh(8)
+    batch = shard_batch(_batch(R=64), mesh)
+    shard_shapes = [s.data.shape for s in batch["raydir"].addressable_shards]
+    assert all(s == (1, 8, 3) for s in shard_shapes)
+    assert len(shard_shapes) == 8
