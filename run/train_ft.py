@@ -1,0 +1,156 @@
+"""Per-scene fine-tuning driver (reference: /root/reference/run/train_ft.py).
+
+Flow (reference main() :588-1087, re-designed for in-process operation):
+  1. parse TrainOptions, create dataset + SceneModel;
+  2. bootstrap: resume from checkpoint if present, else load scene init
+     points (load_init_points / load_init_depth_points), voxel-downsample,
+     initialize per-point attributes, set points;
+  3. train loop: per-iteration random-ray batches through the jitted train
+     step; periodic prune (prune_iter), grow (prob_freq — IN-PROCESS, no
+     save+exit()+bash-restart), save (save_iter_freq), test (test_freq);
+  4. final save + full test.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from sgnerf_tpu.options import TrainOptions  # noqa: E402
+from sgnerf_tpu.data import create_dataset  # noqa: E402
+from sgnerf_tpu.runtime import SceneModel  # noqa: E402
+from sgnerf_tpu.utils.visualizer import Visualizer  # noqa: E402
+from sgnerf_tpu.utils.metrics import psnr  # noqa: E402
+
+
+def make_batch(item):
+    import jax.numpy as jnp
+    b = {
+        "campos": jnp.asarray(item["campos"][None]),
+        "raydir": jnp.asarray(item["raydir"][None]),
+        "camrotc2w": jnp.asarray(item["camrotc2w"][None]),
+        "near": jnp.asarray(item["near"]),
+        "far": jnp.asarray(item["far"]),
+        "bg_color": jnp.asarray(item["bg_color"]),
+        "gt_image": jnp.asarray(item["gt_image"][None]),
+    }
+    if "pixel_label" in item:
+        b["pixel_label"] = jnp.asarray(item["pixel_label"][None])
+    return b
+
+
+def run_test(model, dataset, visualizer, total_steps, num_images=None,
+             step_stride=1):
+    """Render test frames, save images, return mean PSNR
+    (reference run/test_ft.py:132-268)."""
+    ids = list(range(len(dataset)))[::step_stride]
+    if num_images:
+        ids = ids[:num_images]
+    psnrs = []
+    subdir = f"test_{total_steps}"
+    for i in ids:
+        item = dataset.get_item(i, full_img=True)
+        t0 = time.time()
+        col = model.render_image(item)
+        h = int(np.sqrt(len(col))) if False else None
+        # reshape using the pixel window the dataset sampled
+        npx = item["pixel_idx"]
+        W = int(npx[:, 0].max() - npx[:, 0].min() + 1)
+        H = len(col) // W
+        img = col[:H * W].reshape(H, W, 3)
+        gt = item["gt_image"][:H * W].reshape(H, W, 3)
+        p = psnr(img, gt)
+        psnrs.append(p)
+        print(f"test img {i} psnr: {p:.3f}  time used: {time.time()-t0:.3f} s",
+              flush=True)
+        visualizer.display_current_results(
+            {"coarse_raycolor": img, "gt_image": gt}, i, subdir=subdir)
+    mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+    print(f"test mean psnr over {len(psnrs)} imgs: {mean_psnr:.3f}")
+    return mean_psnr
+
+
+def main():
+    opt = TrainOptions().parse()
+    opt.split = "train"
+    TrainOptions().save(opt)
+    visualizer = Visualizer(opt)
+    dataset = create_dataset(opt)
+
+    model = SceneModel(opt)
+    resume = model.resolve_resume()
+    if resume is not None:
+        model.load_checkpoint(resume)
+    else:
+        xyz, feats, labels = dataset.load_init_points()
+        model.setup_from_points(xyz, feats, labels, dataset=dataset)
+
+    test_opt_ds = None
+    total_steps = int(model.state.step)
+    maximum_step = opt.maximum_step or 100000
+    key = jax.random.key(0)
+    rng = np.random.default_rng(1)
+
+    print(f"training from step {total_steps} to {maximum_step}")
+    t_start = time.time()
+    while total_steps < maximum_step:
+        idx = int(rng.integers(0, len(dataset)))
+        item = dataset.get_item(idx, rng=rng)
+        batch = make_batch(item)
+        key, k = jax.random.split(key)
+        losses = model.optimize(batch, k)
+        total_steps = int(model.state.step)
+
+        visualizer.accumulate_losses(
+            {k2: float(v) for k2, v in losses.items()})
+        if total_steps % opt.print_freq == 0:
+            visualizer.print_losses(total_steps)
+            visualizer.reset()
+
+        if opt.prune_iter > 0 and total_steps % opt.prune_iter == 0 \
+                and total_steps <= opt.prune_max_iter:
+            model.prune_points(opt.prune_thresh)
+
+        if opt.prob_freq > 0 and total_steps % opt.prob_freq == 0:
+            from sgnerf_tpu.runtime.growing import probe_and_grow
+            key, k = jax.random.split(key)
+            probe_and_grow(model, dataset, opt, k)
+
+        if total_steps % opt.save_iter_freq == 0:
+            model.save_checkpoint(total_steps)
+
+        if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
+            if test_opt_ds is None:
+                import copy
+                topt = copy.copy(opt)
+                topt.split = "test"
+                topt.random_sample = "no_crop"
+                test_opt_ds = create_dataset(topt)
+            mean_psnr = run_test(model, test_opt_ds, visualizer, total_steps,
+                                 num_images=opt.test_num,
+                                 step_stride=opt.test_num_step)
+            if mean_psnr > model.best_psnr:
+                model.best_psnr = mean_psnr
+                model.best_iter = total_steps
+                model.save_checkpoint(total_steps, best=True)
+
+    print(f"training done in {time.time()-t_start:.1f}s; saving final")
+    model.save_checkpoint(total_steps)
+    model.export_reference(total_steps)
+    import copy
+    topt = copy.copy(opt)
+    topt.split = "test"
+    topt.random_sample = "no_crop"
+    final_ds = create_dataset(topt)
+    run_test(model, final_ds, visualizer, total_steps,
+             num_images=opt.test_num, step_stride=1)
+
+
+if __name__ == "__main__":
+    main()

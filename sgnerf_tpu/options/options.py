@@ -1,0 +1,298 @@
+"""Command-line flag surface, preserving the reference's names and defaults.
+
+Mirrors /root/reference/options/{base,train,test,edit}_options.py plus the
+flags injected by model/dataset classes via modify_commandline_options
+(base_options.py:117-136), flattened into one table so dev_scripts run
+unmodified. Unknown flags are tolerated (warned) for forward-compat.
+
+`configs_from_opt` translates a parsed namespace into the static dataclass
+configs the jitted code paths consume.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+# (name, type, default, nargs) — defaults lifted from the reference files.
+_F = [
+    # base options
+    ("name", str, None, None), ("data_root", str, None, None),
+    ("n_threads", int, 1, None), ("batch_size", int, 1, None),
+    ("render_only", int, 0, None), ("serial_batches", int, 0, None),
+    ("gpu_ids", str, "0", None), ("checkpoints_dir", str, "./checkpoints", None),
+    ("show_tensorboard", int, 0, None), ("resume_dir", str, "", None),
+    ("resume_iter", str, "latest", None), ("debug", bool, False, "store_true"),
+    ("vid", int, 0, None), ("resample_pnts", int, -1, None),
+    ("inall_img", int, 1, None), ("test_train", int, 0, None),
+    ("model", str, "mvs_points_volumetric", None),
+    ("dataset_name", str, None, None), ("max_dataset_size", int, 2**31, None),
+    ("mode", int, 0, None), ("verbose", bool, False, "store_true"),
+    ("timestamp", bool, False, "store_true"),
+    # train options
+    ("plr", float, 0.0005, None), ("lr", float, 0.001, None),
+    ("lr_policy", str, "lambda", None), ("lr_decay_iters", int, 50, None),
+    ("lr_decay_exp", float, 0.1, None),
+    ("train_and_test", int, 0, None), ("test_num", int, 1, None),
+    ("test_num_step", int, 1, None), ("test_freq", int, 500, None),
+    ("maximum_step", int, None, None), ("niter", int, 100, None),
+    ("niter_decay", int, 100, None),
+    ("save_iter_freq", int, 100000, None),
+    ("save_point_freq", int, 100000, None),
+    ("print_freq", int, 100, None),
+    ("prune_thresh", float, 0.1, None), ("prune_iter", int, -1, None),
+    ("prune_max_iter", int, 9999999, None), ("alpha_range", int, 0, None),
+    ("prob_freq", int, 0, None), ("prob_num_step", int, 100, None),
+    ("prob_mode", int, 0, None), ("prob_top", int, 1, None),
+    ("prob_mul", float, 1.0, None), ("prob_thresh", float, 0.8, None),
+    ("prob_kernel_size", float, None, "+"), ("prob_tiers", int, (250000,), "+"),
+    ("far_thresh", float, -1.0, None), ("comb_file", str, None, None),
+    ("save_label_iter", int, 100000, None),
+    ("save_predict_label", int, 0, None),
+    ("test_printId", int, 0, None), ("test_list", int, None, "+"),
+    ("train_step", int, 50, None), ("train_load_num", int, 0, None),
+    ("alter_step", int, 0, None), ("feedforward", int, 0, None),
+    ("no_loss", int, 0, None),
+    # edit options
+    ("neural_points_names", str, None, "+"), ("render_name", str, None, None),
+    ("parts_index_names", str, None, "+"),
+    ("Transformation_names", str, None, "+"),
+    ("render_stride", int, 30, None), ("render_radius", float, 4.0, None),
+    # rendering model flags
+    ("out_channels", int, None, None),
+    ("which_ray_generation", str, "cube", None),
+    ("domain_size", int, 1, None),
+    ("which_render_func", str, "microfacet", None),
+    ("which_blend_func", str, "alpha", None),
+    ("which_tonemap_func", str, "gamma", None),
+    ("num_pos_freqs", int, -1, None), ("num_viewdir_freqs", int, -1, None),
+    ("num_feature_freqs", int, -1, None),
+    ("random_sample", str, "none", None),
+    ("random_sample_size", int, 1024, None),
+    ("color_loss_items", str, None, "+"),
+    ("color_loss_weights", float, (1.0,), "+"),
+    ("test_color_loss_items", str, None, "+"),
+    ("depth_loss_items", str, (), "+"), ("depth_loss_weights", float, (1.0,), "+"),
+    ("bg_loss_items", str, (), "+"), ("bg_loss_weights", float, (1.0,), "+"),
+    ("zero_one_loss_items", str, (), "+"),
+    ("zero_one_loss_weights", float, (1.0,), "+"),
+    ("l2_size_loss_items", str, (), "+"),
+    ("l2_size_loss_weights", float, (0.0,), "+"),
+    ("zero_epsilon", float, 1e-3, None),
+    ("sparse_loss_weight", float, 0.0, None),
+    ("compute_depth", int, 0, None),
+    ("bgmodel", str, "No", None),
+    ("visual_items", str, None, "*"),
+    ("visual_items_additional", str, (), "+"),
+    ("add_shading_dist", int, 0, None),
+    ("raydist_mode_unit", int, 0, None),
+    # neural points flags
+    ("load_points", int, 1, None), ("num_point", int, 8192, None),
+    ("construct_res", int, 0, None), ("grid_res", int, 0, None),
+    ("cloud_path", str, "", None), ("shpnt_jitter", str, "passfunc", None),
+    ("point_noise", str, "", None), ("num_each_depth", int, 1, None),
+    ("vscale", int, (2, 2, 2), "+"), ("vsize", float, (0.005, 0.005, 0.005), "+"),
+    ("wcoord_query", int, 0, None), ("ranges", float,
+     (-100.0, -100.0, -100.0, 100.0, 100.0, 100.0), "+"),
+    ("z_depth_dim", int, 400, None), ("max_o", int, None, None),
+    ("SR", int, 24, None), ("K", int, 32, None), ("P", int, 16, None),
+    ("NN", int, 0, None), ("gpu_maxthr", int, 1024, None),
+    ("kernel_size", int, (7, 7, 7), "+"), ("query_size", int, (0, 0, 0), "+"),
+    ("radius_limit_scale", float, 5.0, None),
+    ("depth_limit_scale", float, 1.3, None),
+    ("xyz_grad", int, 0, None), ("feat_grad", int, 1, None),
+    ("conf_grad", int, 1, None), ("color_grad", int, 1, None),
+    ("dir_grad", int, 0, None), ("bp_embedding_grad", int, 0, None),
+    ("feature_init_method", str, "rand", None),
+    ("point_features_dim", int, 64, None),
+    ("point_conf_mode", str, "0", None), ("point_color_mode", str, "0", None),
+    ("point_dir_mode", str, "0", None), ("default_conf", float, -1.0, None),
+    ("embedding_size", int, -1, None),
+    ("semantic_guidance", int, 0, None),
+    # aggregator flags
+    ("which_agg_model", str, "viewmlp", None),
+    ("agg_distance_kernel", str, "quadric", None),
+    ("sh_degree", int, 4, None), ("sh_dist_func", str, "sh_quadric", None),
+    ("sh_act", str, "sigmoid", None),
+    ("agg_axis_weight", float, None, "+"), ("agg_dist_pers", int, 1, None),
+    ("apply_pnt_mask", int, 1, None), ("modulator_concat", int, 0, None),
+    ("agg_intrp_order", int, 0, None),
+    ("shading_feature_mlp_layer0", int, 0, None),
+    ("shading_feature_mlp_layer1", int, 2, None),
+    ("shading_feature_mlp_layer2", int, 0, None),
+    ("shading_feature_mlp_layer2_bpnet", int, 0, None),
+    ("shading_feature_mlp_layer3", int, 0, None),
+    ("shading_feature_mlp_layer4", int, 1, None),
+    ("shading_feature_mlp_linear", int, 0, None),
+    ("shading_feature_num", int, 256, None),
+    ("point_hyper_dim", int, 256, None),
+    ("shading_alpha_mlp_layer", int, 1, None),
+    ("shading_color_mlp_layer", int, 1, None),
+    ("shading_color_channel_num", int, 3, None),
+    ("num_feat_freqs", int, 0, None), ("num_hyperfeat_freqs", int, 0, None),
+    ("dist_xyz_freq", int, 2, None), ("dist_xyz_deno", float, 0.0, None),
+    ("weight_xyz_freq", int, 2, None), ("weight_feat_dim", int, 8, None),
+    ("agg_weight_norm", int, 1, None), ("view_ori", int, 0, None),
+    ("agg_feat_xyz_mode", str, "None", None),
+    ("agg_alpha_xyz_mode", str, "None", None),
+    ("agg_color_xyz_mode", str, "None", None),
+    ("act_type", str, "ReLU", None), ("act_super", int, 1, None),
+    # BPNet flags
+    ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
+    ("classes", int, 20, None), ("arch_3d", str, "MinkUNet18A", None),
+    ("bpnetweight", str, "../bpnetInitmodel/bpnet_5cm.pth.tar", None),
+    ("bpnet_lr", float, 0.01, None), ("bpnet_momentum", float, 0.9, None),
+    ("bpnet_weight_decay", float, 0.0001, None),
+    # MVS flags
+    ("pre_d_est", str, None, None), ("depth_vid", str, "0", None),
+    ("manual_depth_view", int, 0, None), ("manual_std_depth", float, 0.0, None),
+    ("depth_conf_thresh", float, None, None), ("geo_cnsst_num", int, 2, None),
+    ("depth_occ", int, 0, None), ("depth_grid", int, 128, None),
+    ("dprob_thresh", float, 0.8, None), ("num_neighbor", int, 1, None),
+    ("mvs_lr", float, 5e-4, None), ("mvs_point_sampler", str,
+     "gau_single_sampler", None),
+    ("appr_feature_str0", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
+    ("appr_feature_str1", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
+    ("appr_feature_str2", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
+    ("appr_feature_str3", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
+    ("inverse", int, 0, None), ("ref_vid", int, 0, None),
+    # dataset flags
+    ("scan", str, "scan1", None), ("init_view_num", int, 3, None),
+    ("edge_filter", int, 3, None), ("shape_id", int, 0, None),
+    ("trgt_id", int, 0, None), ("num_nn", int, 1, None),
+    ("near_plane", float, 0.5, None), ("far_plane", float, 5.0, None),
+    ("bg_color", str, "white", None), ("inverse_gamma_image", int, -1, None),
+    ("pin_data_in_memory", int, -1, None),
+    ("normview", int, 0, None), ("id_range", int, (0, 385, 1), 3),
+    ("id_list", int, None, "+"), ("split", str, "train", None),
+    ("vox_res", int, 0, None), ("dir_norm", int, 0, None),
+    ("train_load_num2", int, 0, None),
+    ("img_wh", int, (640, 480), 2), ("testskip", int, 8, None),
+    ("half_res", bool, False, "store_true"),
+    ("novel_cam_trajectory", str, "0", None),
+    ("loss_embedding_l2_weight", float, -1, None),
+    ("loss_kld_weight", float, -1, None),
+]
+
+
+class BaseOptions:
+    is_train = False
+
+    def __init__(self):
+        self.parser = argparse.ArgumentParser(
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+        seen = set()
+        for name, ty, default, nargs in _F:
+            if name in seen:
+                continue
+            seen.add(name)
+            kw = {}
+            if nargs == "store_true":
+                kw["action"] = "store_true"
+            else:
+                kw["type"] = ty
+                if nargs:
+                    kw["nargs"] = nargs
+            kw["default"] = default
+            self.parser.add_argument(f"--{name}", **kw)
+
+    def parse(self, args=None):
+        opt, unknown = self.parser.parse_known_args(args)
+        if unknown:
+            print(f"[options] ignoring unknown flags: {unknown}")
+        opt.is_train = self.is_train
+        if opt.query_size and opt.query_size[0] == 0:
+            opt.query_size = opt.kernel_size
+        self.opt = opt
+        return opt
+
+    def save(self, opt):
+        """Dump opt.txt like the reference (base_options.py:138-160)."""
+        expr_dir = os.path.join(opt.checkpoints_dir, opt.name or "default")
+        os.makedirs(expr_dir, exist_ok=True)
+        with open(os.path.join(expr_dir, "opt.txt"), "w") as f:
+            f.write("------------ Options -------------\n")
+            for k, v in sorted(vars(opt).items()):
+                f.write(f"{k}: {v}\n")
+            f.write("-------------- End ----------------\n")
+
+
+class TrainOptions(BaseOptions):
+    is_train = True
+
+
+class TestOptions(BaseOptions):
+    is_train = False
+
+
+class EditOptions(BaseOptions):
+    is_train = False
+
+
+def configs_from_opt(opt):
+    """opt namespace -> (RenderConfig, TrainConfig, grid kwargs)."""
+    from ..models.aggregator import AggregatorConfig
+    from ..models.renderer import RenderConfig
+    from ..models.train import TrainConfig
+
+    agg = AggregatorConfig(
+        point_features_dim=opt.point_features_dim,
+        shading_feature_num=opt.shading_feature_num,
+        shading_feature_mlp_layer1=opt.shading_feature_mlp_layer1,
+        shading_feature_mlp_layer2=opt.shading_feature_mlp_layer2,
+        shading_feature_mlp_layer2_bpnet=opt.shading_feature_mlp_layer2_bpnet,
+        shading_feature_mlp_layer3=opt.shading_feature_mlp_layer3,
+        shading_alpha_mlp_layer=opt.shading_alpha_mlp_layer,
+        shading_color_mlp_layer=opt.shading_color_mlp_layer,
+        shading_color_channel_num=opt.shading_color_channel_num,
+        num_feat_freqs=opt.num_feat_freqs,
+        dist_xyz_freq=opt.dist_xyz_freq,
+        dist_xyz_deno=opt.dist_xyz_deno,
+        num_viewdir_freqs=opt.num_viewdir_freqs,
+        agg_dist_pers=opt.agg_dist_pers,
+        agg_distance_kernel=opt.agg_distance_kernel,
+        agg_intrp_order=opt.agg_intrp_order,
+        agg_weight_norm=opt.agg_weight_norm,
+        act_type=opt.act_type,
+        act_super=opt.act_super,
+        predict_semantic=opt.predict_semantic,
+        point_color_mode=str(opt.point_color_mode),
+        point_dir_mode=str(opt.point_dir_mode),
+        axis_weight=(tuple(opt.agg_axis_weight)
+                     if opt.agg_axis_weight is not None else None),
+    )
+    cfg = RenderConfig(
+        agg=agg,
+        z_depth_dim=opt.z_depth_dim,
+        SR=opt.SR, K=opt.K,
+        vsize=tuple(opt.vsize),
+        radius_limit_scale=opt.radius_limit_scale,
+        which_ray_generation=opt.which_ray_generation,
+        which_render_func=opt.which_render_func,
+        which_blend_func=opt.which_blend_func,
+        which_tonemap_func=opt.which_tonemap_func,
+        raydist_mode_unit=opt.raydist_mode_unit,
+        semantic_guidance=opt.semantic_guidance,
+        predict_semantic=opt.predict_semantic,
+    )
+    tcfg = TrainConfig(
+        lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,
+        lr_decay_iters=opt.lr_decay_iters, lr_decay_exp=opt.lr_decay_exp,
+        alter_step=opt.alter_step,
+        feat_grad=opt.feat_grad, conf_grad=opt.conf_grad,
+        color_grad=opt.color_grad, dir_grad=opt.dir_grad,
+        xyz_grad=opt.xyz_grad,
+        color_loss_items=tuple(opt.color_loss_items or ()),
+        color_loss_weights=tuple(opt.color_loss_weights or ()),
+        zero_one_loss_items=tuple(opt.zero_one_loss_items or ()),
+        zero_one_loss_weights=tuple(opt.zero_one_loss_weights or ()),
+        sparse_loss_weight=opt.sparse_loss_weight,
+        zero_epsilon=opt.zero_epsilon,
+    )
+    grid_kwargs = dict(
+        vsize=list(opt.vsize), vscale=list(opt.vscale),
+        kernel_size=list(opt.kernel_size),
+        max_o=opt.max_o or 610000, P=opt.P,
+        ranges=(list(opt.ranges) if opt.ranges[0] > -99.0 else None),
+    )
+    return cfg, tcfg, grid_kwargs

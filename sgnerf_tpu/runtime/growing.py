@@ -1,0 +1,108 @@
+"""Point growing ("probe holes") — in-process.
+
+Reference: probe_hole (/root/reference/run/train_ft.py:425-540) + the
+grow-save-exit()-restart loop (:917-954 and the dev_scripts bash wrapper).
+Here growing happens in-process: probe frames are rendered with the prob-mode
+outputs, miss-pixels adjacent to hit-pixels harvest new points at the
+max-opacity shading location, and the cloud grows into its capacity padding
+(grid rebuilt) with no restart.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.renderer import render_rays
+
+
+PROBE_KEYS = ("coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
+              "ray_max_shading_opacity", "ray_max_far_dist",
+              "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
+              "shading_avg_embedding")
+
+
+def render_probe_maps(model, item, chunk_rays: int = 2304) -> Dict[str, np.ndarray]:
+    """Full-frame prob-mode render scattered into H x W maps."""
+    raydir = np.asarray(item["raydir"], np.float32)
+    pix = np.asarray(item["pixel_idx"]).astype(np.int64)
+    H, W = item["h"], item["w"]
+    R = len(raydir)
+    pad = (-R) % chunk_rays
+    rd = np.concatenate([raydir, np.zeros((pad, 3), np.float32)]) if pad \
+        else raydir
+    maps: Dict[str, np.ndarray] = {}
+    st = model.state
+    for s in range(0, len(rd), chunk_rays):
+        out = render_rays(
+            st.params, st.cloud, model.grid, model.cfg,
+            campos=jnp.asarray(item["campos"][None]),
+            raydir=jnp.asarray(rd[s:s + chunk_rays][None]),
+            camrotc2w=jnp.asarray(item["camrotc2w"][None]),
+            near=jnp.asarray(item["near"]), far=jnp.asarray(item["far"]),
+            bg_color=jnp.asarray(item["bg_color"]),
+            is_train=False, prob=True)
+        n = min(chunk_rays, R - s)
+        if n <= 0:
+            break
+        cpix = pix[s:s + n]
+        for key in PROBE_KEYS:
+            v = np.asarray(out[key][0])[:n]
+            if v.ndim == 1:
+                v = v[:, None]
+            if key not in maps:
+                maps[key] = np.zeros((H, W, v.shape[-1]), v.dtype)
+            maps[key][cpix[:, 1], cpix[:, 0]] = v
+    return maps
+
+
+def probe_and_grow(model, dataset, opt, key, opacity_thresh: float = 0.7):
+    """Select probe frames, harvest hole points, grow the cloud."""
+    rng = np.random.default_rng(np.asarray(
+        jax.random.key_data(key)).ravel()[-1])
+    max_num = max(1, len(dataset) // max(opt.prob_num_step, 1))
+    frame_ids = rng.permutation(len(dataset))[:max_num]
+
+    add = {k: [] for k in ("xyz", "embedding", "conf", "color", "dir")}
+    H, W = dataset.height, dataset.width
+    for i in frame_ids:
+        item = dataset.get_item(int(i), full_img=True)
+        maps = render_probe_maps(model, item)
+        pix = np.asarray(item["pixel_idx"]).astype(np.int64)
+        gt_map = np.zeros((H, W, 3), np.float32)
+        gt_map[pix[:, 1], pix[:, 0]] = item["gt_image"]
+        edge_mask = np.zeros((H, W), bool)
+        edge_mask[pix[:, 1], pix[:, 0]] = True
+        bg = np.asarray(item["bg_color"], np.float32)
+
+        ray_mask = maps["ray_mask"][..., 0]
+        miss = (ray_mask < 1) & (
+            np.linalg.norm(gt_map - bg, axis=-1) > 0.002) & edge_mask
+        # dilate miss-pixels by 1 (3x3) — "holes next to surface"
+        from scipy.ndimage import binary_dilation
+        near_miss = binary_dilation(miss, np.ones((3, 3), bool))
+        grow_mask = (ray_mask > 0) & near_miss & (
+            maps["ray_max_shading_opacity"][..., 0] > opacity_thresh)
+        if opt.far_thresh > 0:
+            far = (ray_mask > 0) & (
+                maps["ray_max_far_dist"][..., 0] > opt.far_thresh) & (
+                np.linalg.norm(gt_map - maps["coarse_raycolor"], axis=-1)
+                < 0.1)
+            grow_mask |= far
+        if not grow_mask.any():
+            continue
+        add["xyz"].append(maps["ray_max_sample_loc_w"][grow_mask])
+        add["embedding"].append(maps["shading_avg_embedding"][grow_mask])
+        add["conf"].append(maps["shading_avg_conf"][grow_mask] * opt.prob_mul)
+        add["color"].append(maps["shading_avg_color"][grow_mask])
+        add["dir"].append(maps["shading_avg_dir"][grow_mask])
+
+    if not add["xyz"]:
+        print("probe_and_grow: no holes found")
+        return 0
+    new = {k: np.concatenate(v) for k, v in add.items()}
+    model.grow_points(new["xyz"], new["embedding"], new["conf"],
+                      new["color"], new["dir"])
+    return len(new["xyz"])

@@ -1,0 +1,297 @@
+"""SceneModel: orchestration of point cloud, grid, params, training state,
+checkpoints and full-image rendering.
+
+The functional equivalent of the reference's `create_model(opt)` +
+`MvsPointsVolumetricModel` object graph (/root/reference/models/
+mvs_points_volumetric_model.py, run/train_ft.py bootstrap :588-805):
+  * checkpoint resume ({iter}_net_ray_marching.{npz,pth}, resume_iter
+    latest|best|N — run/train_ft.py:552-586);
+  * point-cloud bootstrap from dataset init points with voxel downsampling
+    (construct_vox_points_closest) and per-point attribute initialization;
+  * chunked full-frame rendering (test_ft's 48^2-ray chunks, run/test_ft.py);
+  * in-process prune/grow with grid rebuild (replaces the grow-save-exit
+    restart loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.aggregator import init_aggregator_params
+from ..models.checkpoint_io import (convert_reference_checkpoint, load_native,
+                                    load_torch_state_dict, save_native,
+                                    export_reference_checkpoint)
+from ..models.point_cloud import (NeuralPointCloud, build_grid,
+                                  grid_spec_for_cloud, make_point_cloud,
+                                  prune as prune_cloud, grow as grow_cloud)
+from ..models.renderer import render_rays
+from ..models.train import (TrainConfig, TrainState, create_train_state,
+                            train_step, _point_subtree, _with_points)
+from ..options.options import configs_from_opt
+from ..ops.scatter import construct_vox_points_closest
+
+
+def get_latest_epoch(ckpt_dir: str) -> Optional[int]:
+    iters = []
+    for f in glob.glob(os.path.join(ckpt_dir, "*_net_ray_marching.*")):
+        m = re.match(r"(\d+)_net_ray_marching", os.path.basename(f))
+        if m:
+            iters.append(int(m.group(1)))
+    return max(iters) if iters else None
+
+
+def nearest_view(campos: np.ndarray, camdir: np.ndarray,
+                 xyz: np.ndarray) -> np.ndarray:
+    """Assign each point the camera that sees it most head-on
+    (reference run/train_ft.py nearest_view)."""
+    out = np.zeros(len(xyz), np.int64)
+    chunk = 200_000
+    for s in range(0, len(xyz), chunk):
+        pts = xyz[s:s + chunk]
+        diff = pts[:, None, :] - campos[None, :, :]          # (n, V, 3)
+        dist = np.linalg.norm(diff, axis=-1) + 1e-6
+        cos = np.sum(diff / dist[..., None] * camdir[None], axis=-1)
+        score = cos / np.sqrt(dist)
+        out[s:s + chunk] = np.argmax(score, axis=-1)
+    return out
+
+
+class SceneModel:
+    def __init__(self, opt):
+        self.opt = opt
+        self.cfg, self.tcfg, self.grid_kwargs = configs_from_opt(opt)
+        self.expr_dir = os.path.join(opt.checkpoints_dir, opt.name or "default")
+        os.makedirs(self.expr_dir, exist_ok=True)
+        self.state: Optional[TrainState] = None
+        self.grid = None
+        self.spec = None
+        self.best_psnr = 0.0
+        self.best_iter = 0
+
+    # ------------------------------------------------------------- checkpoints
+
+    def resolve_resume(self) -> Optional[str]:
+        it = self.opt.resume_iter
+        search_dirs = [self.expr_dir]
+        if self.opt.resume_dir:
+            search_dirs.insert(0, self.opt.resume_dir)
+        for d in search_dirs:
+            if it == "latest":
+                latest = get_latest_epoch(d)
+                if latest is None:
+                    continue
+                it_num = latest
+            elif it == "best":
+                it_num = "best"
+            else:
+                it_num = it
+            for ext in (".npz", ".pth"):
+                p = os.path.join(d, f"{it_num}_net_ray_marching{ext}")
+                if os.path.exists(p):
+                    return p
+        return None
+
+    def load_checkpoint(self, path: str):
+        if path.endswith(".pth"):
+            sd = load_torch_state_dict(path)
+            params, pts = convert_reference_checkpoint(sd)
+            cloud = make_point_cloud(
+                xyz=pts["xyz"], embedding=pts["embedding"], conf=pts["conf"],
+                dir=pts["dir"], color=pts["color"], feats=pts["feats"],
+                label=pts["label"], Rw2c=pts["Rw2c"],
+                capacity=self._capacity_for(len(pts["xyz"])))
+            # companion semantic embedding, if previously saved
+            sem_path = path.replace("_net_ray_marching.pth",
+                                    "_semanticEmbedding.pth")
+            if os.path.exists(sem_path):
+                import torch
+                sem = torch.load(sem_path, map_location="cpu",
+                                 weights_only=False)
+                sem = np.asarray(sem.detach().cpu() if hasattr(sem, "detach")
+                                 else sem, np.float32)
+                sem = sem[0] if sem.ndim == 3 else sem
+                cloud = dataclasses.replace(
+                    cloud, sem_embedding=cloud.sem_embedding.at[:len(sem)].set(
+                        jnp.asarray(sem)))
+        else:
+            tree, meta = load_native(path)
+            params = tree["params"]
+            c = tree["cloud"]
+            cloud = NeuralPointCloud(
+                **{k: jnp.asarray(v) for k, v in c.items()})
+            if meta:
+                self.best_psnr = meta.get("best_psnr", 0.0)
+                self.best_iter = meta.get("best_iter", 0)
+        self._finish_setup(params, cloud)
+        it = re.match(r"(\d+|best)_", os.path.basename(path))
+        step = (self.best_iter if (it and it.group(1) == "best")
+                else int(it.group(1)) if it else 0)
+        self.state = dataclasses.replace(
+            self.state, step=jnp.asarray(step, jnp.int32))
+        print(f"loaded checkpoint {path} (step {step}, "
+              f"{int(self.state.cloud.n_active)} points)")
+
+    def save_checkpoint(self, it, best: bool = False):
+        tag = "best" if best else str(it)
+        st = self.state
+        tree = {
+            "params": jax.tree.map(np.asarray, st.params),
+            "cloud": {f.name: np.asarray(getattr(st.cloud, f.name))
+                      for f in dataclasses.fields(st.cloud)},
+        }
+        meta = {"iter": int(it), "best_psnr": float(self.best_psnr),
+                "best_iter": int(self.best_iter)}
+        save_native(os.path.join(
+            self.expr_dir, f"{tag}_net_ray_marching.npz"), tree, meta)
+
+    def export_reference(self, it):
+        """Also write a reference-format .pth for external tooling."""
+        st = self.state
+        act = np.asarray(st.cloud.active)
+        pts = {
+            "xyz": np.asarray(st.cloud.xyz)[act],
+            "embedding": np.asarray(st.cloud.embedding)[act],
+            "conf": np.asarray(st.cloud.conf)[act],
+            "dir": np.asarray(st.cloud.dir)[act],
+            "color": np.asarray(st.cloud.color)[act],
+            "feats": np.asarray(st.cloud.feats)[act],
+            "Rw2c": np.asarray(st.cloud.Rw2c),
+        }
+        params = jax.tree.map(np.asarray, st.params)
+        export_reference_checkpoint(
+            params, pts,
+            os.path.join(self.expr_dir, f"{it}_net_ray_marching.pth"))
+
+    # ---------------------------------------------------------------- creation
+
+    def _capacity_for(self, n: int) -> int:
+        # headroom for growing; rounded for stable shapes
+        cap = int(n * 1.3) + 1024
+        return (cap + 1023) // 1024 * 1024
+
+    def _finish_setup(self, params, cloud):
+        self.spec = grid_spec_for_cloud(cloud, **self.grid_kwargs)
+        self.grid = build_grid(cloud, self.spec)
+        if params is None or "block1" not in params:
+            params = init_aggregator_params(jax.random.key(0), self.cfg.agg)
+        self.state = create_train_state(params, cloud, self.tcfg)
+
+    def setup_from_points(self, xyz: np.ndarray, feats: Optional[np.ndarray],
+                          labels: Optional[np.ndarray],
+                          dataset=None, mvs_model=None):
+        """Bootstrap branch C (run/train_ft.py:650-800): voxel-downsample the
+        scene cloud, then per-point embedding/color/dir/conf. With an MVS
+        model, features come from FeatureNet + premlp (query_embedding); the
+        fallback initializes embeddings randomly (feature_init_method=rand)."""
+        opt = self.opt
+        if opt.vox_res > 0:
+            _, _, keep = construct_vox_points_closest(xyz, opt.vox_res)
+            xyz = xyz[keep]
+            feats = feats[keep] if feats is not None else None
+            labels = labels[keep] if labels is not None else None
+            print(f"after voxelize: {len(xyz)} points")
+
+        n = len(xyz)
+        rng = np.random.default_rng(0)
+        if mvs_model is not None and dataset is not None:
+            embedding, color, dirs, conf = mvs_model.embed_points(
+                xyz, dataset, nearest_view)
+        else:
+            embedding = (rng.uniform(-0.5, 0.5, size=(n, opt.point_features_dim))
+                         .astype(np.float32))
+            color = (np.asarray(feats, np.float32) / 255.0
+                     if feats is not None else np.zeros((n, 3), np.float32))
+            conf = np.ones((n, 1), np.float32)
+            if dataset is not None:
+                campos, camdir = dataset.get_campos_ray()
+                cam_ind = nearest_view(campos, camdir, xyz)
+                d = campos[cam_ind] - xyz
+                dirs = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-6)
+            else:
+                dirs = np.zeros((n, 3), np.float32)
+        if opt.default_conf > 0 and opt.default_conf < 1.0:
+            conf = conf * opt.default_conf
+
+        cloud = make_point_cloud(
+            xyz, embedding, conf=conf, dir=dirs, color=color, feats=feats,
+            label=labels, capacity=self._capacity_for(n))
+        self._finish_setup(None, cloud)
+        print(f"scene set up with {n} points (capacity {cloud.capacity})")
+
+    # ---------------------------------------------------------------- training
+
+    def optimize(self, batch: Dict, key) -> Dict[str, float]:
+        self.state, losses = train_step(
+            self.state, self.grid, self.cfg, self.tcfg, batch, key)
+        return losses
+
+    def prune_points(self, thresh: float):
+        cloud = prune_cloud(self.state.cloud, thresh)
+        print(f"prune: {int(self.state.cloud.n_active)} -> "
+              f"{int(cloud.n_active)} points")
+        self._rebuild(cloud)
+
+    def grow_points(self, new_xyz, new_embedding, new_conf, new_color, new_dir):
+        need = int(self.state.cloud.n_active) + len(new_xyz)
+        cloud = self.state.cloud
+        if need > cloud.capacity:
+            # host-side re-allocation at larger capacity
+            act = np.asarray(cloud.active)
+            cloud = make_point_cloud(
+                np.concatenate([np.asarray(cloud.xyz)[act], new_xyz]),
+                np.concatenate([np.asarray(cloud.embedding)[act], new_embedding]),
+                conf=np.concatenate([np.asarray(cloud.conf)[act], new_conf]),
+                dir=np.concatenate([np.asarray(cloud.dir)[act], new_dir]),
+                color=np.concatenate([np.asarray(cloud.color)[act], new_color]),
+                capacity=self._capacity_for(need))
+        else:
+            cloud = grow_cloud(cloud, jnp.asarray(new_xyz),
+                               jnp.asarray(new_embedding), jnp.asarray(new_conf),
+                               jnp.asarray(new_color), jnp.asarray(new_dir))
+        print(f"grow: +{len(new_xyz)} -> {int(cloud.n_active)} points")
+        self._rebuild(cloud)
+
+    def _rebuild(self, cloud):
+        """Swap the cloud, rebuild the grid, keep MLP params + step, reset
+        point-optimizer state (topology changed)."""
+        params = self.state.params
+        step = self.state.step
+        self.grid = build_grid(cloud, self.spec)
+        st = create_train_state(params, cloud, self.tcfg)
+        self.state = dataclasses.replace(st, step=step,
+                                         opt_state_net=self.state.opt_state_net)
+
+    # --------------------------------------------------------------- rendering
+
+    def render_image(self, item: Dict, chunk_rays: int = 2304,
+                     key=None) -> np.ndarray:
+        """Chunked full-frame render; returns (H', W', 3) over the filtered
+        pixel window (test_ft.py:167-204 chunk loop, static chunk shapes)."""
+        raydir = np.asarray(item["raydir"], np.float32)
+        R = len(raydir)
+        pad = (-R) % chunk_rays
+        raydir_p = np.concatenate(
+            [raydir, np.zeros((pad, 3), np.float32)]) if pad else raydir
+        cols = []
+        st = self.state
+        for s in range(0, len(raydir_p), chunk_rays):
+            rd = jnp.asarray(raydir_p[s:s + chunk_rays][None])
+            out = render_rays(
+                st.params, st.cloud, self.grid, self.cfg,
+                campos=jnp.asarray(item["campos"][None]),
+                raydir=rd,
+                camrotc2w=jnp.asarray(item["camrotc2w"][None]),
+                near=jnp.asarray(item["near"]),
+                far=jnp.asarray(item["far"]),
+                bg_color=jnp.asarray(item["bg_color"]),
+                key=key, is_train=False)
+            cols.append(np.asarray(out["coarse_raycolor"][0]))
+        col = np.concatenate(cols)[:R]
+        return col
