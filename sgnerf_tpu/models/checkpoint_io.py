@@ -174,3 +174,78 @@ def export_reference_checkpoint(params: Dict[str, Any], points: Dict[str, Any],
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     import torch as _t
     _t.save(sd, path)
+
+
+# -------------------------------------------------- MVSNet .ckpt conversion
+
+def _conv_w(a):
+    """torch conv (co,ci,k...) or transpose-conv (ci,co,k...) -> trailing-IO:
+    2D (kh,kw,ci,co); 3D and transpose-3D (kd,kh,kw,ci/co,co/ci) — the same
+    permutation works for both conv3d (DHWIO) and our conv_transpose3d_s2
+    (which takes (k,k,k,co,ci) with transpose_kernel=True)."""
+    a = np.asarray(a)
+    if a.ndim == 4:
+        return np.ascontiguousarray(a.transpose(2, 3, 1, 0))
+    return np.ascontiguousarray(a.transpose(2, 3, 4, 1, 0))
+
+
+def convert_official_mvsnet_checkpoint(path: str):
+    """Convert the reference's pretrained MVSNet checkpoint
+    (pre_d_est, e.g. MVSNet/model_000014.ckpt with a {'model': state_dict}
+    wrapper — mvs_points_model.py:66-74) into our `official` param tree."""
+    import torch
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw.get("model", raw)
+    flat = {}
+    for k, v in sd.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        flat[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+
+    def bn(prefix):
+        return {"weight": flat[f"{prefix}.weight"],
+                "bias": flat[f"{prefix}.bias"],
+                "running_mean": flat[f"{prefix}.running_mean"],
+                "running_var": flat[f"{prefix}.running_var"]}
+
+    def cbr(prefix):
+        # reference ConvBnReLU: .conv (Conv, no bias) + .bn
+        return {"conv": {"weight": _conv_w(flat[f"{prefix}.conv.weight"])},
+                "bn": bn(f"{prefix}.bn")}
+
+    feature = {f"conv{i}": cbr(f"feature.conv{i}") for i in range(7)}
+    feature["feature"] = {"weight": _conv_w(flat["feature.feature.weight"]),
+                          "bias": flat["feature.feature.bias"]}
+
+    cr = "cost_regularization"
+    cost = {f"conv{i}": cbr(f"{cr}.conv{i}") for i in (0, 1, 2, 3, 4, 5, 6)}
+    for i in (7, 9, 11):
+        cost[f"conv{i}"] = {
+            "0": {"weight": _conv_w(flat[f"{cr}.conv{i}.0.weight"])},
+            "1": bn(f"{cr}.conv{i}.1")}
+    cost["prob"] = {"weight": _conv_w(flat[f"{cr}.prob.weight"]),
+                    "bias": flat[f"{cr}.prob.bias"]}
+    return {"feature": feature, "cost_regularization": cost}
+
+
+def convert_mvsnerf_featurenet_checkpoint(sd: Dict[str, np.ndarray],
+                                          prefix: str = "FeatureNet"):
+    """Convert the MVSNeRF-style FeatureNet (mvs/models.py:717-765, ABN
+    normalization) used by query_embedding. ABN params map to our
+    BN+leaky_relu directly (weight/bias/running stats)."""
+    def bn(p):
+        return {"weight": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"],
+                "running_mean": sd[f"{p}.running_mean"],
+                "running_var": sd[f"{p}.running_var"]}
+
+    def cbr(p):
+        return {"conv": {"weight": _conv_w(sd[f"{p}.conv.weight"])},
+                "bn": bn(f"{p}.bn")}
+
+    out = {
+        "conv0": {"0": cbr(f"{prefix}.conv0.0"), "1": cbr(f"{prefix}.conv0.1")},
+        "conv1": {str(i): cbr(f"{prefix}.conv1.{i}") for i in range(3)},
+        "conv2": {str(i): cbr(f"{prefix}.conv2.{i}") for i in range(3)},
+        "toplayer": {"weight": _conv_w(sd[f"{prefix}.toplayer.weight"]),
+                     "bias": sd[f"{prefix}.toplayer.bias"]},
+    }
+    return out
