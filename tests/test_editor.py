@@ -1,0 +1,78 @@
+"""Editor toolkit tests: ply round-trip, crop/add/transform, checkpoint IO."""
+import numpy as np
+import pytest
+
+from sgnerf_tpu.editor import (
+    NeuralPointCloudEdit, crop_point_cloud, add_point_cloud,
+    transform_point_cloud_global, transform_point_cloud_local)
+from sgnerf_tpu.editor.editor import match_selection
+
+
+def _cloud(n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    return NeuralPointCloudEdit(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        embedding=rng.normal(size=(n, 32)).astype(np.float32),
+        conf=rng.uniform(size=n).astype(np.float32),
+        dir=rng.normal(size=(n, 3)).astype(np.float32),
+        color=rng.uniform(size=(n, 3)).astype(np.float32),
+        label=rng.integers(0, 20, size=n).astype(np.int32))
+
+
+def test_ply_roundtrip(tmp_path):
+    c = _cloud()
+    p = str(tmp_path / "origin_neuralpcd.ply")
+    c.save_as_ply(p)
+    c2 = NeuralPointCloudEdit.load_from_ply(p)
+    np.testing.assert_allclose(c2.xyz, c.xyz, atol=1e-6)
+    np.testing.assert_allclose(c2.embedding, c.embedding, atol=1e-6)
+    np.testing.assert_allclose(c2.conf, c.conf, atol=1e-6)
+    np.testing.assert_array_equal(c2.label, c.label)
+
+
+def test_crop_add_roundtrip():
+    father = _cloud(100)
+    part = father.select(np.arange(30))
+    rest = crop_point_cloud(part, father)
+    assert rest.n == 70
+    back = add_point_cloud(part, rest)
+    assert back.n == 100
+    assert sorted(map(tuple, back.xyz.tolist())) == \
+        sorted(map(tuple, father.xyz.tolist()))
+
+
+def test_transforms():
+    c = _cloud(50)
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    g = transform_point_cloud_global(c, T)
+    np.testing.assert_allclose(g.xyz, c.xyz + [1, 2, 3], atol=1e-6)
+    l = transform_point_cloud_local(c, T)
+    np.testing.assert_allclose(l.xyz, c.xyz + [1, 2, 3], atol=1e-5)
+    # rotation about centroid preserves centroid+t
+    Rz = np.eye(4)
+    th = 0.5
+    Rz[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    lr = transform_point_cloud_local(c, Rz)
+    np.testing.assert_allclose(lr.xyz.mean(0), c.xyz.mean(0), atol=1e-5)
+
+
+def test_match_selection():
+    pytest.importorskip("scipy")
+    c = _cloud(80)
+    sel = c.xyz[[3, 10, 42]]
+    idx = match_selection(c, sel)
+    assert set(idx.tolist()) == {3, 10, 42}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    c = _cloud(60)
+    c.params = {"block1": [{"w": np.eye(3, dtype=np.float32),
+                            "b": np.zeros(3, np.float32)}]}
+    p = str(tmp_path / "10_net_ray_marching.pth")
+    c.to_checkpoint(p)
+    c2 = NeuralPointCloudEdit.from_checkpoint(p)
+    np.testing.assert_allclose(c2.xyz, c.xyz, atol=1e-6)
+    np.testing.assert_allclose(c2.embedding, c.embedding, atol=1e-6)
+    np.testing.assert_allclose(c2.conf, c.conf.reshape(-1), atol=1e-6)
