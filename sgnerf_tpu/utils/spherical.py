@@ -1,0 +1,58 @@
+"""Real spherical harmonics basis (hardcoded table, degrees 0..4).
+
+Reference: /root/reference/utils/spherical.py (SphericalHarm_table used by the
+aggregator's `sh_intrp` distance kernel, point_aggregators.py:533-543).
+Evaluates the real SH basis at unit directions; standard normalization
+constants (same table the reference hardcodes).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396)
+C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435)
+C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+      -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+      0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
+
+
+class SphericalHarm_table:
+    """sh_all(dirs) -> (..., deg^2) basis values; deg <= 5."""
+
+    def __init__(self, deg: int):
+        assert 1 <= deg <= 5, "table supports degree 1..5"
+        self.total_deg = deg
+
+    def sh_all(self, dirs, filp_dir: bool = False):
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        if filp_dir:
+            x, y, z = -x, -y, -z
+        out = [jnp.full(x.shape, C0, dtype=dirs.dtype)]
+        deg = self.total_deg
+        if deg > 1:
+            out += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 2:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            out += [C2[0] * xy, C2[1] * yz, C2[2] * (2 * zz - xx - yy),
+                    C2[3] * xz, C2[4] * (xx - yy)]
+        if deg > 3:
+            out += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                    C3[2] * y * (4 * zz - xx - yy),
+                    C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * x * (4 * zz - xx - yy),
+                    C3[5] * z * (xx - yy), C3[6] * x * (xx - 3 * yy)]
+        if deg > 4:
+            out += [C4[0] * xy * (xx - yy), C4[1] * yz * (3 * xx - yy),
+                    C4[2] * xy * (7 * zz - 1), C4[3] * yz * (7 * zz - 3),
+                    C4[4] * (zz * (35 * zz - 30) + 3),
+                    C4[5] * xz * (7 * zz - 3), C4[6] * (xx - yy) * (7 * zz - 1),
+                    C4[7] * xz * (xx - 3 * yy),
+                    C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))]
+        return jnp.stack(out, axis=-1)
