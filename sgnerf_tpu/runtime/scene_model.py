@@ -192,7 +192,8 @@ class SceneModel:
         fallback initializes embeddings randomly (feature_init_method=rand)."""
         opt = self.opt
         if opt.vox_res > 0:
-            _, _, keep = construct_vox_points_closest(xyz, opt.vox_res)
+            from .native import vox_downsample_closest
+            keep = vox_downsample_closest(xyz, opt.vox_res)
             xyz = xyz[keep]
             feats = feats[keep] if feats is not None else None
             labels = labels[keep] if labels is not None else None
