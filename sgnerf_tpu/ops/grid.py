@@ -91,11 +91,14 @@ class PointGrid:
     vox_slot: jnp.ndarray     # (X,Y,Z) int32 slot or -1 (undilated)
     bucket_pnts: jnp.ndarray  # (max_o, P) int32 point ids, -1 padded
     bucket_cnt: jnp.ndarray   # (max_o,) int32
+    bucket_xyz: jnp.ndarray   # (max_o, P, 3) f32 point coords (contiguous
+    #                           per-voxel blocks: the query gathers these
+    #                           instead of 48M scalar rows of the point store)
     spec: GridSpec            # static
 
     def tree_flatten(self):
         return ((self.occ_mask, self.vox_slot, self.bucket_pnts,
-                 self.bucket_cnt), self.spec)
+                 self.bucket_cnt, self.bucket_xyz), self.spec)
 
     @classmethod
     def tree_unflatten(cls, spec, children):
@@ -175,10 +178,17 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
         padding=((kx // 2, (kx - 1) // 2), (ky // 2, (ky - 1) // 2),
                  (kz // 2, (kz - 1) // 2)))
 
+    # packed per-bucket coordinates; padding rows go far out of range so a
+    # distance test alone rejects them
+    bucket_xyz = jnp.where(
+        (bucket_pnts >= 0)[..., None],
+        xyz[jnp.clip(bucket_pnts, 0, N - 1)], 1e9).astype(jnp.float32)
+
     return PointGrid(
         occ_mask=occ_mask,
         vox_slot=vox_slot.reshape(X, Y, Z),
         bucket_pnts=bucket_pnts,
         bucket_cnt=bucket_cnt,
+        bucket_xyz=bucket_xyz,
         spec=spec,
     )

@@ -59,33 +59,21 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
     occ = grid.occ_mask[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
     hit = inb & occ  # (B,R,D)
 
-    sidx = jnp.cumsum(hit, axis=-1) - 1           # target SR slot
-    valid = hit & (sidx < SR)
-    tgt = jnp.where(valid, sidx, SR)               # overflow slot SR (dropped)
-
-    def compact_one(tgt_d, pos_d, lbl_d):
-        first_d = jnp.full((SR + 1,), D, dtype=jnp.int32).at[tgt_d].min(
-            jnp.arange(D, dtype=jnp.int32))
-        first_d = first_d[:SR]
-        smask = first_d < D
-        gather_d = jnp.clip(first_d, 0, D - 1)
-        loc = jnp.where(smask[:, None], pos_d[gather_d], 0.0)
-        lbl = None if lbl_d is None else jnp.where(smask, lbl_d[gather_d], 0)
-        return loc, smask, lbl
-
-    flat_tgt = tgt.reshape(B * R, D)
-    flat_pos = raypos.reshape(B * R, D, 3)
+    # "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
+    # scatter loops serialize badly): score hits by D-d so the SR largest
+    # scores are the SR smallest d, returned in ascending-d order.
+    d_rng = jnp.arange(D, dtype=jnp.int32)
+    score = jnp.where(hit, D - d_rng, -1)                   # (B,R,D)
+    top, top_d = jax.lax.top_k(score, SR)                   # (B,R,SR)
+    smask = top > 0
+    gather_d = jnp.clip(top_d, 0, D - 1)
+    loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
+    loc = jnp.where(smask[..., None], loc, 0.0)
+    lbl = None
     if ray_label is not None:
-        # per-ray label broadcast along D (reference repeats it, :110)
-        flat_lbl = jnp.broadcast_to(
-            ray_label.reshape(B * R, 1), (B * R, D)).astype(jnp.int32)
-        loc, smask, lbl = jax.vmap(compact_one)(flat_tgt, flat_pos, flat_lbl)
-        lbl = lbl.reshape(B, R, SR)
-    else:
-        loc, smask, _ = jax.vmap(lambda t, p: compact_one(t, p, None))(
-            flat_tgt, flat_pos)
-        lbl = None
-    return loc.reshape(B, R, SR, 3), smask.reshape(B, R, SR), lbl
+        # per-ray label broadcast along samples (reference repeats it, :110)
+        lbl = jnp.where(smask, ray_label[..., None].astype(jnp.int32), 0)
+    return loc, smask, lbl
 
 
 def _neighbor_offsets(kernel_size):
@@ -137,7 +125,9 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
     cand_ok = (slot_ok[..., None] & rank_ok & (cand >= 0)
                & smask[..., None, None])
 
-    cxyz = points_xyz[jnp.clip(cand, 0, N - 1)]                # (B,R,SR,Kv,P,3)
+    # candidate coords from the packed (max_o,P,3) table: one contiguous
+    # (P,3) block per visited voxel instead of Kv*P scalar row gathers
+    cxyz = grid.bucket_xyz[slot_c]                             # (B,R,SR,Kv,P,3)
     d2 = jnp.sum(
         (cxyz - sample_loc_w[..., None, None, :]) ** 2, axis=-1)
 
