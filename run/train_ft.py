@@ -91,6 +91,11 @@ def main():
         xyz, feats, labels = dataset.load_init_points()
         model.setup_from_points(xyz, feats, labels, dataset=dataset)
 
+    semantic = None
+    if opt.predict_semantic:
+        from sgnerf_tpu.runtime.semantic import SemanticDriver
+        semantic = SemanticDriver(opt, key=jax.random.key(7))
+
     test_opt_ds = None
     total_steps = int(model.state.step)
     maximum_step = opt.maximum_step or 100000
@@ -102,6 +107,11 @@ def main():
     while total_steps < maximum_step:
         idx = int(rng.integers(0, len(dataset)))
         item = dataset.get_item(idx, rng=rng)
+        if semantic is not None:
+            semantic.maybe_refresh(model, dataset, item)
+            pl = semantic.pixel_labels_for(item)
+            if pl is not None:
+                item["pixel_label"] = pl
         batch = make_batch(item)
         key, k = jax.random.split(key)
         losses = model.optimize(batch, k)

@@ -139,6 +139,7 @@ _F = [
     ("act_type", str, "ReLU", None), ("act_super", int, 1, None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
+    ("bpnet_refresh_every", int, 1, None),
     ("classes", int, 20, None), ("arch_3d", str, "MinkUNet18A", None),
     ("bpnetweight", str, "../bpnetInitmodel/bpnet_5cm.pth.tar", None),
     ("bpnet_lr", float, 0.01, None), ("bpnet_momentum", float, 0.9, None),

@@ -58,6 +58,10 @@ def scene_dir(tmp_path_factory):
         Image.fromarray(img).save(scan / f"color/{i}.jpg")
         lbl = rng.integers(0, 40, size=(H, W)).astype(np.int32)
         Image.fromarray(lbl, mode="I").save(scan / f"label/{i}.png")
+        # depth in millimetres: roughly the sphere distance from this camera
+        depth_m = np.full((H, W), 3.0, np.float32) - 1.0
+        depth_mm = (depth_m * 1000).astype(np.uint16)
+        Image.fromarray(depth_mm).save(scan / f"depth/{i}.png")
     return str(root) + "/"
 
 
@@ -176,4 +180,34 @@ def test_growing_cycle(scene_dir, tmp_path):
     import run.train_ft as train_ft
     item = dataset.get_item(0)
     losses = model.optimize(train_ft.make_batch(item), jax.random.key(2))
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_semantic_training_cycle(scene_dir, tmp_path):
+    """train_ft with predict_semantic=1: BPNet runs over the cloud, feeds
+    per-point semantics + pixel labels into the semantic-guided step."""
+    from sgnerf_tpu.data import create_dataset
+    from sgnerf_tpu.runtime import SceneModel
+    from sgnerf_tpu.runtime.semantic import SemanticDriver
+    import run.train_ft as train_ft
+    import jax
+
+    opt = _opt(scene_dir, tmp_path, extra=[
+        "--predict_semantic", "1", "--semantic_guidance", "1",
+        "--shading_feature_mlp_layer2_bpnet", "1"])
+    dataset = create_dataset(opt)
+    model = SceneModel(opt)
+    xyz, feats, labels = dataset.load_init_points()
+    model.setup_from_points(xyz, feats, labels, dataset=dataset)
+
+    sem = SemanticDriver(opt, key=jax.random.key(0))
+    item = dataset.get_item(0, rng=np.random.default_rng(0))
+    sem.maybe_refresh(model, dataset, item)
+    pl = sem.pixel_labels_for(item)
+    assert pl is not None and pl.shape == (64,)
+    item["pixel_label"] = pl
+    assert np.abs(np.asarray(model.state.cloud.sem_embedding)).sum() > 0
+
+    batch = train_ft.make_batch(item)
+    losses = model.optimize(batch, jax.random.key(1))
     assert np.isfinite(float(losses["total"]))
