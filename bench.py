@@ -23,6 +23,8 @@ A100_BASELINE_RAYS_PER_SEC = 25_000.0
 
 def main():
     import jax
+    from sgnerf_tpu.runtime.jax_setup import setup as _jax_setup
+    _jax_setup()
     import jax.numpy as jnp
     from sgnerf_tpu.models.aggregator import (
         AggregatorConfig, init_aggregator_params)

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Evaluation counterpart (reference *_test.sh): full test-split render +
+# PSNR/SSIM/RMSE scores.txt.
+nrCheckpoint="../checkpoints"
+nrDataRoot="../data_src"
+name='scene024102_Semantic_sample50%_step200'
+
+cd "$(dirname "$0")/.."
+python run/test_ft.py \
+  --name "$name" \
+  --data_root "${nrDataRoot}/scannet/scans/" \
+  --scan "scene0241_02" \
+  --dataset_name scannet_ft \
+  --checkpoints_dir "${nrCheckpoint}/scannet/" \
+  --resume_iter best \
+  --split test --test_num_step 50 \
+  --vscale 2 2 2 --kernel_size 3 3 3 --query_size 3 3 3 \
+  --vsize 0.008 0.008 0.008 --wcoord_query 1 \
+  --z_depth_dim 400 --max_o 610000 \
+  --ranges -10.0 -10.0 -10.0 10.0 10.0 10.0 \
+  --SR 24 --K 8 --P 32 --NN 2 \
+  --act_type LeakyReLU --agg_intrp_order 2 --agg_distance_kernel linear \
+  --agg_dist_pers 20 --radius_limit_scale 4 \
+  --point_features_dim 32 \
+  --shading_feature_mlp_layer1 2 --shading_feature_mlp_layer2_bpnet 1 \
+  --shading_alpha_mlp_layer 1 --shading_color_mlp_layer 4 \
+  --shading_feature_num 256 --dist_xyz_freq 5 --num_feat_freqs 3 \
+  --num_viewdir_freqs 4 --raydist_mode_unit 1 \
+  --near_plane 0.1 --far_plane 8.0 \
+  --which_ray_generation near_far_linear \
+  --which_tonemap_func off --which_render_func radiance \
+  --which_blend_func alpha \
+  --bg_color white --img_wh 640 480 --train_step 5

@@ -21,6 +21,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sgnerf_tpu.runtime.jax_setup import setup as _jax_setup  # noqa: E402
+_jax_setup()
+
 from sgnerf_tpu.options import EditOptions  # noqa: E402
 from sgnerf_tpu.data import create_dataset  # noqa: E402
 from sgnerf_tpu.runtime import SceneModel  # noqa: E402

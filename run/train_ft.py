@@ -20,6 +20,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sgnerf_tpu.runtime.jax_setup import setup as _jax_setup  # noqa: E402
+_jax_setup()
+
 import jax  # noqa: E402
 
 from sgnerf_tpu.options import TrainOptions  # noqa: E402
