@@ -56,6 +56,9 @@ class AggregatorConfig:
     point_color_mode: str = "1"
     point_dir_mode: str = "1"
     axis_weight: Optional[Tuple[float, float, float]] = None
+    sh_degree: int = 4
+    sh_act: str = "sigmoid"
+    sh_dist_func: str = "sh_quadric"
 
     @property
     def dist_dim(self) -> int:
@@ -72,6 +75,11 @@ class AggregatorConfig:
     @property
     def block1_in(self) -> int:
         c = self.point_features_dim
+        # kernels that consume leading embedding channels (reference :315)
+        if self.agg_distance_kernel == "sh_intrp":
+            c -= self.sh_degree ** 2
+        elif self.agg_distance_kernel == "gau_intrp":
+            c -= 7
         c += 2 * self.num_feat_freqs * c if self.num_feat_freqs > 0 else 0
         c += self.dist_xyz_dim if self.agg_intrp_order > 0 else 0
         return c
@@ -185,7 +193,47 @@ def _dist_weights(cfg: AggregatorConfig, dists, pnt_mask):
         w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists), axis=-1), min=1e-8)
         w = m * w
         return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
+    if kern == "trilinear":
+        # reference :428-462 — needs grid_vox_sz; handled in _dist_weights_ex
+        raise ValueError("trilinear handled by _dist_weights_ex")
     raise ValueError(f"unsupported agg_distance_kernel {kern}")
+
+
+def _dist_weights_ex(cfg: AggregatorConfig, embedding, dists, pnt_mask,
+                     vsize, grid_vox_sz):
+    """Kernels that also transform the embedding (sh_intrp, gau_intrp,
+    trilinear — reference :428-558). Returns (weights, embedding)."""
+    kern = cfg.agg_distance_kernel
+    m = pnt_mask.astype(dists.dtype)
+    if kern == "trilinear":
+        d = dists * m[..., None] / jnp.maximum(grid_vox_sz, 1e-8)
+        d = 1.0 - jnp.abs(d)
+        w = m * d[..., 0] * d[..., 1] * d[..., 2]
+        w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), min=1e-8)
+        return w, embedding
+    if kern == "sh_intrp":
+        from ..utils.spherical import SphericalHarm_table
+        sh = SphericalHarm_table(cfg.sh_degree)
+        dist_norm = jnp.linalg.norm(dists[..., :3], axis=-1)
+        dirs = dists[..., :3] / jnp.clip(dist_norm[..., None], min=1e-8)
+        shall = sh.sh_all(dirs)                        # (...,deg^2)
+        nsh = cfg.sh_degree ** 2
+        sh_coefs = embedding[..., :nsh]
+        act = {"sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh,
+               "passfunc": lambda x: x}[cfg.sh_act]
+        distf = {"sh_linear": lambda d: 1.0 / jnp.clip(d, min=1e-8),
+                 "sh_quadric": lambda d: 1.0 / jnp.clip(d ** 2, min=1e-8),
+                 "passfunc": lambda d: jnp.ones_like(d)}[cfg.sh_dist_func]
+        w = m * jnp.sum(act(shall * sh_coefs), axis=-1) * distf(dist_norm)
+        return w, embedding[..., nsh:]
+    if kern == "gau_intrp":
+        # anisotropic gaussians (reference :546-558, simplified axis-aligned)
+        scale = jnp.abs(embedding[..., 0])
+        radii = vsize[2] * 20 * jax.nn.sigmoid(embedding[..., 1:4])
+        g = dists[..., :3] / jnp.clip(radii, min=1e-6)
+        w = m * scale * jnp.exp(-0.5 * jnp.sum(jnp.square(g), axis=-1))
+        return w, embedding[..., 7:]
+    return _dist_weights(cfg, dists, pnt_mask), embedding
 
 
 def _gradient_clamp(x, lo=0.0001, hi=1.0):
@@ -253,8 +301,15 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
 
     dists = compute_dists(cfg, sampled_xyz, sampled_xyz_pers,
                           sample_loc, sample_loc_w)
-    weight = _dist_weights(cfg, dists, mask)
-    if cfg.agg_weight_norm > 0 and not cfg.agg_distance_kernel.startswith("num"):
+    if cfg.agg_distance_kernel in ("trilinear", "sh_intrp", "gau_intrp"):
+        weight, sampled_embedding = _dist_weights_ex(
+            cfg, sampled_embedding, dists, mask,
+            vsize if vsize is not None else (0.008,) * 3, 0.0)
+    else:
+        weight = _dist_weights(cfg, dists, mask)
+    if (cfg.agg_weight_norm > 0
+            and cfg.agg_distance_kernel != "trilinear"
+            and not cfg.agg_distance_kernel.startswith("num")):
         weight = weight / jnp.clip(
             jnp.sum(weight, axis=-1, keepdims=True), min=1e-8)
 

@@ -44,6 +44,10 @@ class GridSpec:
     max_o: int                               # max occupied voxels tracked
     P: int                                   # max points kept per voxel
     kernel_size: Tuple[int, int, int]        # occupancy dilation (and query) extent
+    nbr_cache: int = 64                      # merged-neighborhood cache size C
+    #                                          (0 disables; see build notes)
+    dilate_factor: int = 4                   # cache rows = dilate_factor*max_o
+    #                                          (covers the dilated voxel set)
 
     @property
     def min_corner_arr(self) -> jnp.ndarray:
@@ -55,7 +59,7 @@ class GridSpec:
 
 
 def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
-                      ranges=None) -> GridSpec:
+                      ranges=None, nbr_cache: int = 64) -> GridSpec:
     """Host-side spec computation; mirrors `get_hyperparameters`
     (query_point_indices_worldcoords.py:66-92): point bbox intersected with
     `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
@@ -81,6 +85,7 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
         max_o=int(max_o),
         P=int(P),
         kernel_size=tuple(int(k) for k in np.asarray(kernel_size)),
+        nbr_cache=int(nbr_cache),
     )
 
 
@@ -94,11 +99,18 @@ class PointGrid:
     bucket_xyz: jnp.ndarray   # (max_o, P, 3) f32 point coords (contiguous
     #                           per-voxel blocks: the query gathers these
     #                           instead of 48M scalar rows of the point store)
+    dil_slot: jnp.ndarray     # (X,Y,Z) int32 DILATED-voxel slot or -1 (every
+    #                           voxel a shading point can land in has one)
+    nbr_xyz: jnp.ndarray      # (max_d, C, 3) merged-neighborhood cache: the C
+    #                           candidates of each dilated voxel's 3^3
+    #                           neighborhood nearest its center (empty if off)
+    nbr_pidx: jnp.ndarray     # (max_d, C) int32 ids of those candidates (-1)
     spec: GridSpec            # static
 
     def tree_flatten(self):
         return ((self.occ_mask, self.vox_slot, self.bucket_pnts,
-                 self.bucket_cnt, self.bucket_xyz), self.spec)
+                 self.bucket_cnt, self.bucket_xyz, self.dil_slot,
+                 self.nbr_xyz, self.nbr_pidx), self.spec)
 
     @classmethod
     def tree_unflatten(cls, spec, children):
@@ -184,11 +196,89 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
         (bucket_pnts >= 0)[..., None],
         xyz[jnp.clip(bucket_pnts, 0, N - 1)], 1e9).astype(jnp.float32)
 
-    return PointGrid(
+    grid = PointGrid(
         occ_mask=occ_mask,
         vox_slot=vox_slot.reshape(X, Y, Z),
         bucket_pnts=bucket_pnts,
         bucket_cnt=bucket_cnt,
         bucket_xyz=bucket_xyz,
+        dil_slot=jnp.zeros((0, 0, 0), jnp.int32),
+        nbr_xyz=jnp.zeros((0, 0, 3), jnp.float32),
+        nbr_pidx=jnp.zeros((0, 0), jnp.int32),
         spec=spec,
     )
+    if spec.nbr_cache > 0:
+        dil_slot, nbr_xyz, nbr_pidx = _build_nbr_cache(grid, spec)
+        grid = dataclasses.replace(grid, dil_slot=dil_slot, nbr_xyz=nbr_xyz,
+                                   nbr_pidx=nbr_pidx)
+    return grid
+
+
+def _build_nbr_cache(grid: PointGrid, spec: GridSpec):
+    """Merged-neighborhood cache over the DILATED voxel set: every voxel a
+    shading point can land in (occ_mask=1) gets a slot holding the C
+    candidates of its 3^3 neighborhood nearest its center — a tight superset
+    of any interior shading point's K nearest (recall validated against the
+    exact 27-voxel search in tests). One-time cost per grid rebuild; chunked
+    to bound the (chunk, 27, P, 3) transient."""
+    C = spec.nbr_cache
+    max_d = spec.max_o * spec.dilate_factor
+    X, Y, Z = spec.vdim
+    nvox = X * Y * Z
+
+    # enumerate dilated voxels (ascending linear id; overflow beyond max_d
+    # falls back to the exact path via dil_slot=-1... dropped rows simply
+    # have no cache entry, and the query treats them as empty)
+    occ_flat = grid.occ_mask.reshape(-1) > 0
+    (dil_lin,) = jnp.nonzero(occ_flat, size=max_d, fill_value=nvox)
+    dil_valid = dil_lin < nvox
+    dil_slot = jnp.full((nvox,), -1, jnp.int32).at[
+        jnp.where(dil_valid, dil_lin, nvox)].set(
+        jnp.arange(max_d, dtype=jnp.int32), mode="drop")
+    dcoords = jnp.stack([dil_lin // (Y * Z), (dil_lin // Z) % Y,
+                         dil_lin % Z], axis=-1).astype(jnp.int32)
+    dcoords = jnp.where(dil_valid[:, None], dcoords, -1)
+
+    kx, ky, kz = spec.kernel_size
+    offs = np.stack(np.meshgrid(
+        np.arange(kx) - kx // 2, np.arange(ky) - ky // 2,
+        np.arange(kz) - kz // 2, indexing="ij"), -1).reshape(-1, 3)
+    offs = jnp.asarray(offs, jnp.int32)
+    Kv = offs.shape[0]
+    vdim = jnp.asarray(spec.vdim, jnp.int32)
+
+    def one_chunk(sl_coords):  # (S,3)
+        valid = sl_coords[:, 0] >= 0
+        nbr = sl_coords[:, None, :] + offs                 # (S,Kv,3)
+        ok = jnp.all((nbr >= 0) & (nbr < vdim), axis=-1)
+        nc = jnp.clip(nbr, 0, vdim - 1)
+        s = grid.vox_slot[nc[..., 0], nc[..., 1], nc[..., 2]]
+        s_ok = ok & (s >= 0)
+        sc = jnp.clip(s, 0, spec.max_o - 1)
+        cxyz = grid.bucket_xyz[sc]                         # (S,Kv,P,3)
+        cpid = jnp.where(s_ok[..., None], grid.bucket_pnts[sc], -1)
+        center = (sl_coords.astype(jnp.float32) + 0.5) * spec.vsize_arr \
+            + spec.min_corner_arr
+        d2 = jnp.sum((cxyz - center[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where((cpid >= 0) & s_ok[..., None], d2, jnp.inf)
+        S = sl_coords.shape[0]
+        d2f = d2.reshape(S, Kv * spec.P)
+        neg, idx = jax.lax.top_k(-d2f, C)
+        sel_ok = jnp.isfinite(-neg) & valid[:, None]
+        pidx = jnp.where(sel_ok,
+                         jnp.take_along_axis(
+                             cpid.reshape(S, -1), idx, axis=-1), -1)
+        xyzs = jnp.take_along_axis(
+            cxyz.reshape(S, -1, 3), idx[..., None], axis=1)
+        xyzs = jnp.where(sel_ok[..., None], xyzs, 1e9)
+        return xyzs, pidx
+
+    chunk = max(1, min(65536, max_d))
+    n_chunks = (max_d + chunk - 1) // chunk
+    pad = n_chunks * chunk - max_d
+    sc_pad = jnp.concatenate(
+        [dcoords, jnp.full((pad, 3), -1, jnp.int32)]) if pad else dcoords
+    xs, ps = jax.lax.map(one_chunk, sc_pad.reshape(n_chunks, chunk, 3))
+    nbr_xyz = xs.reshape(-1, C, 3)[:max_d]
+    nbr_pidx = ps.reshape(-1, C)[:max_d].astype(jnp.int32)
+    return dil_slot.reshape(X, Y, Z), nbr_xyz, nbr_pidx

@@ -108,28 +108,46 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
     sample_loc_w, smask, sample_label = mask_and_compact_samples(
         raypos, grid, SR, ray_label if semantic_guidance else None)
 
-    offsets = _neighbor_offsets(spec.kernel_size)  # (Kv,3)
-    Kv = offsets.shape[0]
+    if spec.nbr_cache > 0 and grid.nbr_xyz.shape[0] > 0:
+        # fast path: ONE gather per shading point from the merged
+        # neighborhood cache (C candidates vs Kv*P; 27x fewer gather rows)
+        c = voxel_coords(sample_loc_w, spec)                  # (B,R,SR,3)
+        cin = in_bounds(c, spec)
+        cc = jnp.clip(c, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+        slot = grid.dil_slot[cc[..., 0], cc[..., 1], cc[..., 2]]
+        slot_ok = cin & (slot >= 0) & smask
+        max_d = grid.nbr_xyz.shape[0]
+        slot_c = jnp.clip(slot, 0, max_d - 1)
+        cand = grid.nbr_pidx[slot_c]                           # (B,R,SR,C)
+        cxyz = grid.nbr_xyz[slot_c]                            # (B,R,SR,C,3)
+        cand_ok = slot_ok[..., None] & (cand >= 0)
+        d2 = jnp.sum((cxyz - sample_loc_w[..., None, :]) ** 2, axis=-1)
+        Kv = 1
+        cand_flat_shape = (B, R, SR, cand.shape[-1])
+    else:
+        offsets = _neighbor_offsets(spec.kernel_size)  # (Kv,3)
+        Kv = offsets.shape[0]
 
-    c = voxel_coords(sample_loc_w, spec)                      # (B,R,SR,3)
-    nbr = c[..., None, :] + offsets                            # (B,R,SR,Kv,3)
-    nbr_ok = in_bounds(nbr, spec)
-    nc = jnp.clip(nbr, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-    slot = grid.vox_slot[nc[..., 0], nc[..., 1], nc[..., 2]]   # (B,R,SR,Kv)
-    slot_ok = nbr_ok & (slot >= 0)
-    slot_c = jnp.clip(slot, 0, spec.max_o - 1)
+        c = voxel_coords(sample_loc_w, spec)                      # (B,R,SR,3)
+        nbr = c[..., None, :] + offsets                            # (B,R,SR,Kv,3)
+        nbr_ok = in_bounds(nbr, spec)
+        nc = jnp.clip(nbr, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+        slot = grid.vox_slot[nc[..., 0], nc[..., 1], nc[..., 2]]   # (B,R,SR,Kv)
+        slot_ok = nbr_ok & (slot >= 0)
+        slot_c = jnp.clip(slot, 0, spec.max_o - 1)
 
-    cand = grid.bucket_pnts[slot_c]                            # (B,R,SR,Kv,P)
-    cnt = grid.bucket_cnt[slot_c]                              # (B,R,SR,Kv)
-    rank_ok = jnp.arange(spec.P, dtype=jnp.int32) < cnt[..., None]
-    cand_ok = (slot_ok[..., None] & rank_ok & (cand >= 0)
-               & smask[..., None, None])
+        cand = grid.bucket_pnts[slot_c]                            # (B,R,SR,Kv,P)
+        cnt = grid.bucket_cnt[slot_c]                              # (B,R,SR,Kv)
+        rank_ok = jnp.arange(spec.P, dtype=jnp.int32) < cnt[..., None]
+        cand_ok = (slot_ok[..., None] & rank_ok & (cand >= 0)
+                   & smask[..., None, None])
 
-    # candidate coords from the packed (max_o,P,3) table: one contiguous
-    # (P,3) block per visited voxel instead of Kv*P scalar row gathers
-    cxyz = grid.bucket_xyz[slot_c]                             # (B,R,SR,Kv,P,3)
-    d2 = jnp.sum(
-        (cxyz - sample_loc_w[..., None, None, :]) ** 2, axis=-1)
+        # candidate coords from the packed (max_o,P,3) table: one contiguous
+        # (P,3) block per visited voxel instead of Kv*P scalar row gathers
+        cxyz = grid.bucket_xyz[slot_c]                             # (B,R,SR,Kv,P,3)
+        d2 = jnp.sum(
+            (cxyz - sample_loc_w[..., None, None, :]) ** 2, axis=-1)
+        cand_flat_shape = (B, R, SR, Kv * spec.P)
 
     radius2 = jnp.asarray(radius_limit, d2.dtype) ** 2
     in_radius = jnp.where(radius2 > 0, d2 <= radius2, True)
@@ -156,8 +174,8 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         ok = ok & sem_ok
 
     big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-    d2m = jnp.where(ok, d2, big).reshape(B, R, SR, Kv * spec.P)
-    cand_flat = cand.reshape(B, R, SR, Kv * spec.P)
+    d2m = jnp.where(ok, d2, big).reshape(cand_flat_shape)
+    cand_flat = cand.reshape(cand_flat_shape)
 
     neg_top, top_idx = jax.lax.top_k(-d2m, K)                  # (B,R,SR,K)
     top_ok = -neg_top < big

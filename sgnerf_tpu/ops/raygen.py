@@ -153,3 +153,43 @@ def find_ray_generation_method(name: str):
     if name not in _RAYGEN:
         raise RuntimeError(f"No such ray generation method: {name}")
     return _RAYGEN[name]
+
+
+def near_middle_far_ray_generation(campos, raydir, point_count, near=0.1,
+                                   middle=2.0, far=10.0, middle_split=0.6,
+                                   jitter=0.0, key: Optional[jax.Array] = None,
+                                   **_):
+    """Linear in [near,middle], disparity-linear in [middle,far]
+    (reference diff_ray_marching.py:142-198)."""
+    B, R = raydir.shape[0], raydir.shape[1]
+    D = point_count
+    n0 = int(D * middle_split) + 1
+    n1 = int(D * (1 - middle_split)) + 2
+    t0 = jnp.linspace(0.0, 1.0, n0, dtype=raydir.dtype)
+    vals0 = near * (1 - t0) + middle * t0
+    t1 = jnp.linspace(0.0, 1.0, n1, dtype=raydir.dtype)
+    vals1 = 1.0 / (1.0 / middle * (1 - t1) + 1.0 / far * t1)
+    tvals = jnp.concatenate([vals0, vals1])
+    seg = (tvals[1:] - tvals[:-1])[None, None, :]
+    seg = _jitter_lengths(key, seg, B, R, seg.shape[-1], jitter)[..., :D]
+    end_ts = near + jnp.concatenate(
+        [jnp.zeros((B, R, 1), seg.dtype), jnp.cumsum(seg, axis=-1)], axis=-1)
+    ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * ts[..., None]
+    return raypos, seg, jnp.ones_like(ts), ts
+
+
+def refine_ray_generation(campos, raydir, point_count, prev_ts, prev_weights,
+                          key: Optional[jax.Array] = None, jitter=0, **_):
+    """Importance resampling of sample depths (reference :397-431)."""
+    end_ts = sample_pdf(prev_ts[..., None], prev_weights,
+                        point_count + 1, key=key, det=jitter <= 0)[..., 0]
+    end_ts = end_ts[..., : point_count + 1]
+    seg = end_ts[..., 1:] - end_ts[..., :-1]
+    ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * ts[..., None]
+    seg = seg * jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    return raypos, seg, jnp.ones_like(ts), ts
+
+
+_RAYGEN["near_middle_far"] = near_middle_far_ray_generation

@@ -151,3 +151,43 @@ def test_ray_mask_false_for_empty_rays():
                           K=2, SR=4, radius_limit=0.0)
     rm = np.asarray(res.ray_mask)
     assert rm[0, 0] and not rm[0, 1]
+
+
+def test_nbr_cache_recall_vs_exact():
+    """The merged-neighborhood fast path must reproduce the exact 27-voxel
+    KNN (distances identical) when C bounds the true neighborhood size."""
+    from sgnerf_tpu.ops.grid import compute_grid_spec, build_point_grid
+    xyz = _small_cloud(800, seed=7)
+    kwargs = dict(vsize=[0.15] * 3, vscale=[1, 1, 1], kernel_size=[3, 3, 3],
+                  max_o=8192, P=64)
+    spec_exact = compute_grid_spec(xyz, nbr_cache=0, **kwargs)
+    spec_fast = compute_grid_spec(xyz, nbr_cache=256, **kwargs)
+    g_exact = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                               spec_exact)
+    g_fast = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                              spec_fast)
+
+    rng = np.random.default_rng(8)
+    R, D, SR, K = 16, 60, 8, 4
+    campos = np.array([0.0, 0.0, -3.0], np.float32)
+    dirs = rng.normal(size=(R, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ts = np.linspace(1.0, 5.0, D, dtype=np.float32)
+    raypos = (campos + dirs[:, None, :] * ts[None, :, None])[None]
+
+    kw = dict(K=K, SR=SR, radius_limit=4 * 0.15)
+    r_exact = query_neighbors(g_exact, jnp.asarray(xyz), jnp.asarray(raypos),
+                              **kw)
+    r_fast = query_neighbors(g_fast, jnp.asarray(xyz), jnp.asarray(raypos),
+                             **kw)
+    pe = np.asarray(r_exact.sample_pidx)
+    pf = np.asarray(r_fast.sample_pidx)
+    # neighbor distance multisets must match
+    for r in range(R):
+        for s in range(SR):
+            de = sorted(((xyz[i] - np.asarray(r_exact.sample_loc_w)[0, r, s])
+                         ** 2).sum() for i in pe[0, r, s] if i >= 0)
+            df = sorted(((xyz[i] - np.asarray(r_fast.sample_loc_w)[0, r, s])
+                         ** 2).sum() for i in pf[0, r, s] if i >= 0)
+            np.testing.assert_allclose(de, df, atol=1e-6)
