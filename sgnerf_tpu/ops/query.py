@@ -155,7 +155,10 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
 
     if semantic_guidance:
         assert points_label is not None and points_label_prob is not None
-        center_label = sample_label[..., None, None]           # (B,R,SR,1,1)
+        # broadcast the per-sample label over the candidate axes (the cache
+        # path has one candidate axis, the exact path two)
+        center_label = sample_label.reshape(
+            sample_label.shape + (1,) * (d2.ndim - sample_label.ndim))
         label_v = points_label[jnp.clip(cand, 0, N - 1)].astype(jnp.int32)
         C = points_label_prob.shape[-1]
         prob_v = jnp.take_along_axis(
