@@ -57,28 +57,33 @@ def main():
     params = init_aggregator_params(jax.random.key(0), cfg.agg)
 
     R = 2304  # 48^2, the reference's test chunk
-    d = (rng.normal(size=(1, R, 3)) * 0.3).astype(np.float32)
-    d[..., 2] = 1.0
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    def mk_raydir(i):
+        d = (np.random.default_rng(100 + i).normal(size=(1, R, 3)) * 0.3
+             ).astype(np.float32)
+        d[..., 2] = 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(d)
+    raydirs = [mk_raydir(i) for i in range(4)]
     campos = jnp.asarray([[0.0, 0.0, -1.5]])
-    raydir = jnp.asarray(d)
     rot = jnp.eye(3, dtype=np.float32)[None]
     bg = jnp.ones(3)
 
-    def step(raydir):
+    @jax.jit
+    def step(params, cloud, grid, raydir):
         out = render_rays(params, cloud, grid, cfg, campos=campos,
                           raydir=raydir, camrotc2w=rot, near=0.1, far=8.0,
                           bg_color=bg)
-        return out["coarse_raycolor"]
+        # scalar result: forces completion per call without shipping images
+        return jnp.sum(out["coarse_raycolor"])
 
     # warmup/compile
-    jax.block_until_ready(step(raydir))
+    float(step(params, cloud, grid, raydirs[0]))
 
     iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        col = step(raydir)
-    jax.block_until_ready(col)
+    for i in range(iters):
+        # vary inputs and sync a scalar per call: honest steady-state timing
+        float(step(params, cloud, grid, raydirs[i % 4]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = R * iters / dt

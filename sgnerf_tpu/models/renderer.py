@@ -97,12 +97,19 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
     sample_pnt_mask = sample_pidx >= 0
     pid = jnp.clip(sample_pidx, 0, cloud.capacity - 1).astype(jnp.int32)
 
-    sampled_xyz = cloud.xyz[pid]                     # (B,R,SR,K,3)
-    sampled_embedding = cloud.embedding[pid]
-    sampled_color = cloud.color[pid]
-    sampled_dir = cloud.dir[pid]
-    sampled_conf = cloud.conf[pid]
-    sampled_sem = cloud.sem_embedding[pid] if cfg.semantic_guidance else None
+    # ONE fused gather of all per-point attributes (separate gathers pay the
+    # TPU per-row gather cost five times over)
+    F = cloud.embedding.shape[-1]
+    packed = jnp.concatenate(
+        [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
+        + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
+    g = packed[pid]                                   # (B,R,SR,K,C)
+    sampled_xyz = g[..., 0:3]
+    sampled_embedding = g[..., 3:3 + F]
+    sampled_color = g[..., 3 + F:6 + F]
+    sampled_dir = g[..., 6 + F:9 + F]
+    sampled_conf = g[..., 9 + F:10 + F]
+    sampled_sem = g[..., 10 + F:] if cfg.semantic_guidance else None
 
     # zero out padding gathers so masked rows stay finite
     m = sample_pnt_mask[..., None].astype(sampled_xyz.dtype)
