@@ -191,3 +191,41 @@ def test_nbr_cache_recall_vs_exact():
             df = sorted(((xyz[i] - np.asarray(r_fast.sample_loc_w)[0, r, s])
                          ** 2).sum() for i in pf[0, r, s] if i >= 0)
             np.testing.assert_allclose(de, df, atol=1e-6)
+
+
+def test_perspective_query_smoke():
+    from sgnerf_tpu.ops.query_pers import (
+        perspective_grid_spec, query_neighbors_perspective)
+    from sgnerf_tpu.ops.camera import w2pers
+    rng = np.random.default_rng(11)
+    xyz = _small_cloud(400, seed=11) + np.array([0, 0, 3], np.float32)
+    rot = jnp.eye(3)[None]
+    campos = jnp.zeros((1, 3))
+    pers = np.asarray(w2pers(jnp.asarray(xyz), rot[0], campos[0]))
+    spec = perspective_grid_spec(pers, vsize=[0.05, 0.05, 0.05],
+                                 vscale=[1, 1, 1], kernel_size=[3, 3, 3],
+                                 max_o=8192, P=16, near=1.0, far=6.0)
+    # rays through the cloud
+    R, D = 8, 48
+    d = rng.normal(size=(1, R, 3)).astype(np.float32) * 0.1
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ts = np.linspace(1.5, 5.0, D, dtype=np.float32)
+    raypos = (np.zeros(3, np.float32) + np.asarray(d)[0][:, None, :]
+              * ts[None, :, None])[None]
+    res, pers_j = query_neighbors_perspective(
+        jnp.asarray(xyz), jnp.ones(len(xyz), bool), jnp.asarray(raypos),
+        rot, campos, spec, K=4, SR=6, radius_limit=0.2)
+    assert np.asarray(res.ray_mask).any()
+    pidx = np.asarray(res.sample_pidx)
+    assert (pidx < len(xyz)).all()
+    # any found neighbor is within the radius in PERSPECTIVE space
+    loc = np.asarray(res.sample_loc_w)
+    sm = np.asarray(res.sample_loc_mask)
+    pe = np.asarray(pers_j)
+    for r in range(R):
+        for s in range(6):
+            for k in pidx[0, r, s]:
+                if k >= 0:
+                    d2 = ((pe[k] - loc[0, r, s]) ** 2).sum()
+                    assert d2 <= 0.2 ** 2 + 1e-6
