@@ -76,3 +76,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(c2.xyz, c.xyz, atol=1e-6)
     np.testing.assert_allclose(c2.embedding, c.embedding, atol=1e-6)
     np.testing.assert_allclose(c2.conf, c.conf.reshape(-1), atol=1e-6)
+
+
+def test_camera_path_interpolation():
+    from sgnerf_tpu.utils.camera_path import interpolate_poses
+    k0 = np.eye(4)
+    k1 = np.eye(4)
+    th = np.pi / 2
+    k1[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    k1[:3, 3] = [1, 2, 3]
+    path = interpolate_poses(np.stack([k0, k1]), 5)
+    assert path.shape == (5, 4, 4)
+    np.testing.assert_allclose(path[0], k0, atol=1e-5)
+    np.testing.assert_allclose(path[-1], k1, atol=1e-5)
+    # midpoint rotation is a valid rotation at 45 deg
+    R = path[2][:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert abs(np.arccos((np.trace(R) - 1) / 2) - np.pi / 4) < 1e-4
+
+
+def test_resample_scene(tmp_path):
+    import os
+    from sgnerf_tpu.data.resample import resample_scene
+    src = tmp_path / "src"
+    for sub in ("color", "depth", "pose", "label", "intrinsic"):
+        (src / "exported" / sub).mkdir(parents=True)
+    for i in range(10):
+        (src / "exported" / "color" / f"{i}.jpg").write_bytes(b"x")
+        (src / "exported" / "pose" / f"{i}.txt").write_text("0")
+    (src / "exported" / "intrinsic" / "intrinsic_color.txt").write_text("1")
+    dst = tmp_path / "dst"
+    kept = resample_scene(str(src), str(dst), step=3)
+    assert kept == 4
+    assert sorted(os.listdir(dst / "exported" / "color")) == \
+        ["0.jpg", "1.jpg", "2.jpg", "3.jpg"]
