@@ -249,3 +249,44 @@ def convert_mvsnerf_featurenet_checkpoint(sd: Dict[str, np.ndarray],
                      "bias": sd[f"{prefix}.toplayer.bias"]},
     }
     return out
+
+
+def unpack_embedding_modes(points: Dict[str, Any], point_conf_mode: str = "1",
+                           point_dir_mode: str = "1",
+                           point_color_mode: str = "1",
+                           point_features_dim: int = 32) -> Dict[str, Any]:
+    """Undo mode-0 attribute packing: with point_{conf,dir,color}_mode "0",
+    the attribute was concatenated into points_embeding instead of stored
+    separately (reference set_points, neural_points.py:594-620; packing order
+    conf -> dir -> color, each PREPENDED, so the final leading layout is
+    [color(3), dir(3), conf(1), features])."""
+    emb = points.get("embedding")
+    if emb is None:
+        return points
+    out = dict(points)
+    emb = np.asarray(emb)
+    if "0" in str(point_color_mode) and out.get("color") is None \
+            and emb.shape[-1] > point_features_dim:
+        out["color"], emb = emb[:, :3], emb[:, 3:]
+    if "0" in str(point_dir_mode) and out.get("dir") is None \
+            and emb.shape[-1] > point_features_dim:
+        out["dir"], emb = emb[:, :3], emb[:, 3:]
+    if "0" in str(point_conf_mode) and out.get("conf") is None \
+            and emb.shape[-1] > point_features_dim:
+        out["conf"], emb = emb[:, :1], emb[:, 1:]
+    out["embedding"] = emb
+    return out
+
+
+def load_reference_states(path: str) -> Dict[str, Any]:
+    """Read the companion {iter}_states.pth (epoch/total_steps/best_PSNR —
+    run/train_ft.py:613-648)."""
+    import torch
+    st = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in dict(st).items():
+        try:
+            out[k] = float(v) if hasattr(v, "item") else v
+        except Exception:
+            out[k] = v
+    return out

@@ -100,8 +100,19 @@ class SceneModel:
 
     def load_checkpoint(self, path: str):
         if path.endswith(".pth"):
+            from ..models.checkpoint_io import (unpack_embedding_modes,
+                                                load_reference_states)
             sd = load_torch_state_dict(path)
             params, pts = convert_reference_checkpoint(sd)
+            pts = unpack_embedding_modes(
+                pts, str(self.opt.point_conf_mode),
+                str(self.opt.point_dir_mode), str(self.opt.point_color_mode),
+                self.opt.point_features_dim)
+            states_path = path.replace("_net_ray_marching.pth", "_states.pth")
+            if os.path.exists(states_path):
+                st = load_reference_states(states_path)
+                self.best_psnr = float(st.get("best_PSNR", 0.0) or 0.0)
+                self.best_iter = int(st.get("best_iter", 0) or 0)
             cloud = make_point_cloud(
                 xyz=pts["xyz"], embedding=pts["embedding"], conf=pts["conf"],
                 dir=pts["dir"], color=pts["color"], feats=pts["feats"],
