@@ -1,0 +1,78 @@
+"""CLI surface tests: the actual run/ scripts execute end-to-end on the
+synthetic scene (subprocess, CPU)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_e2e_scannet import scene_dir  # noqa: F401  (fixture reuse)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "run", script)] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+
+
+COMMON = [
+    "--scan", "scene_test", "--dataset_name", "scannet_ft",
+    "--img_wh", "48", "36", "--train_step", "2",
+    "--random_sample", "random", "--random_sample_size", "8",
+    "--which_ray_generation", "near_far_linear",
+    "--which_render_func", "radiance", "--which_blend_func", "alpha",
+    "--which_tonemap_func", "off",
+    "--near_plane", "1.0", "--far_plane", "5.0",
+    "--z_depth_dim", "32", "--SR", "4", "--K", "2", "--P", "8",
+    "--max_o", "40000", "--vsize", "0.08", "0.08", "0.08",
+    "--vscale", "2", "2", "2", "--kernel_size", "3", "3", "3",
+    "--radius_limit_scale", "4", "--agg_dist_pers", "20",
+    "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+    "--point_features_dim", "32", "--num_feat_freqs", "3",
+    "--dist_xyz_freq", "5", "--num_viewdir_freqs", "4",
+    "--act_type", "LeakyReLU", "--shading_color_mlp_layer", "4",
+    "--shading_feature_mlp_layer1", "2", "--act_super", "1",
+    "--color_loss_items", "ray_masked_coarse_raycolor",
+    "ray_miss_coarse_raycolor", "coarse_raycolor",
+    "--color_loss_weights", "1.0", "0.0", "0.0",
+    "--zero_one_loss_items", "conf_coefficient",
+    "--zero_one_loss_weights", "0.0001",
+    "--lr", "0.001", "--plr", "0.002",
+    "--lr_policy", "iter_exponential_decay",
+    "--lr_decay_iters", "1000000", "--raydist_mode_unit", "1",
+    "--bg_color", "white", "--edge_filter", "2", "--vox_res", "0",
+    "--ranges", "-10", "-10", "-10", "10", "10", "10",
+]
+
+
+@pytest.mark.slow
+def test_train_ft_cli_then_test_ft_cli(scene_dir, tmp_path):  # noqa: F811
+    args = ["--name", "cli", "--data_root", scene_dir,
+            "--checkpoints_dir", str(tmp_path),
+            "--maximum_step", "4", "--save_iter_freq", "4",
+            "--test_freq", "0", "--print_freq", "2", "--test_num", "1",
+            ] + COMMON
+    r = _run("train_ft.py", args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "training done" in r.stdout
+
+    ckpts = [f for f in os.listdir(tmp_path / "cli")
+             if f.endswith("_net_ray_marching.npz")]
+    assert ckpts, os.listdir(tmp_path / "cli")
+
+    r2 = _run("test_ft.py", [
+        "--name", "cli", "--data_root", scene_dir,
+        "--checkpoints_dir", str(tmp_path), "--resume_iter", "latest",
+        "--test_num_step", "3"] + COMMON)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "mean psnr" in r2.stdout
+    # scores.txt written by report_metrics
+    import glob
+    assert glob.glob(str(tmp_path / "cli" / "images" / "test_*" /
+                         "scores.txt"))
