@@ -48,6 +48,41 @@ def make_batch(item):
     return b
 
 
+class ItemPrefetcher:
+    """Background-thread item loader so host IO (jpeg decode, pixel
+    sampling) overlaps device compute — the reference relies on torch
+    DataLoader workers for this (data/__init__.py:68-72)."""
+
+    def __init__(self, dataset, rng, depth: int = 4, n_threads: int = 2):
+        import queue
+        import threading
+        self.q = queue.Queue(maxsize=depth)
+        self.dataset = dataset
+        self.rng = rng
+        self.stop = False
+
+        def worker(seed):
+            r = np.random.default_rng(seed)
+            while not self.stop:
+                idx = int(r.integers(0, len(self.dataset)))
+                item = self.dataset.get_item(idx, rng=r)
+                self.q.put(item)
+
+        self.threads = [
+            threading.Thread(target=worker, args=(1000 + t,), daemon=True)
+            for t in range(max(1, n_threads))]
+        for t in self.threads:
+            t.start()
+
+    def next(self):
+        return self.q.get()
+
+    def close(self):
+        self.stop = True
+        while not self.q.empty():
+            self.q.get_nowait()
+
+
 def run_test(model, dataset, visualizer, total_steps, num_images=None,
              step_stride=1):
     """Render test frames, save images, return mean PSNR
@@ -107,9 +142,14 @@ def main():
 
     print(f"training from step {total_steps} to {maximum_step}")
     t_start = time.time()
+    prefetcher = (ItemPrefetcher(dataset, rng, n_threads=opt.n_threads)
+                  if semantic is None and opt.n_threads > 0 else None)
     while total_steps < maximum_step:
-        idx = int(rng.integers(0, len(dataset)))
-        item = dataset.get_item(idx, rng=rng)
+        if prefetcher is not None:
+            item = prefetcher.next()
+        else:
+            idx = int(rng.integers(0, len(dataset)))
+            item = dataset.get_item(idx, rng=rng)
         if semantic is not None:
             semantic.maybe_refresh(model, dataset, item)
             pl = semantic.pixel_labels_for(item)
@@ -153,6 +193,8 @@ def main():
                 model.best_iter = total_steps
                 model.save_checkpoint(total_steps, best=True)
 
+    if prefetcher is not None:
+        prefetcher.close()
     print(f"training done in {time.time()-t_start:.1f}s; saving final")
     model.save_checkpoint(total_steps)
     model.export_reference(total_steps)
