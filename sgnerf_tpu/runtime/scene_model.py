@@ -282,7 +282,7 @@ class SceneModel:
 
     # --------------------------------------------------------------- rendering
 
-    def render_image(self, item: Dict, chunk_rays: int = 2304,
+    def render_image(self, item: Dict, chunk_rays: int = 9216,
                      key=None) -> np.ndarray:
         """Chunked full-frame render; returns (H', W', 3) over the filtered
         pixel window (test_ft.py:167-204 chunk loop, static chunk shapes)."""
