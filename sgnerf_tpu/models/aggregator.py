@@ -59,6 +59,8 @@ class AggregatorConfig:
     sh_degree: int = 4
     sh_act: str = "sigmoid"
     sh_dist_func: str = "sh_quadric"
+    compute_dtype: str = "float32"   # "bfloat16" runs the MLP matmuls on the
+    #                                  MXU in bf16 with f32 accumulation
 
     @property
     def dist_dim(self) -> int:
@@ -124,8 +126,14 @@ def _mlp_init(key, sizes, gain_hidden, dtype=jnp.float32):
 
 
 def _mlp_apply(cfg, layers, x, act_last=True):
+    bf16 = getattr(cfg, "compute_dtype", "float32") == "bfloat16"
     for i, l in enumerate(layers):
-        x = x @ l["w"] + l["b"]
+        if bf16:
+            x = jnp.dot(x.astype(jnp.bfloat16),
+                        l["w"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + l["b"]
+        else:
+            x = x @ l["w"] + l["b"]
         if act_last or i < len(layers) - 1:
             x = _act(cfg, x)
     return x

@@ -147,3 +147,28 @@ def test_aggregator_matches_reference(with_sem):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_compute_close_to_f32():
+    import dataclasses as dc
+    import jax
+    from sgnerf_tpu.models.aggregator import init_aggregator_params, aggregate
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(0), cfg)
+    data = _inputs(seed=3)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    kwargs = dict(
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"], Rw2c=jnp.eye(3))
+    out32, _, _, _ = aggregate(params, cfg, **kwargs)
+    cfg16 = dc.replace(cfg, compute_dtype="bfloat16")
+    out16, _, _, _ = aggregate(params, cfg16, **kwargs)
+    # bf16 matmuls: expect close but not bit-equal
+    diff = np.abs(np.asarray(out32) - np.asarray(out16))
+    assert diff.max() < 0.05, diff.max()
