@@ -290,3 +290,147 @@ def load_reference_states(path: str) -> Dict[str, Any]:
         except Exception:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------- BPNet .pth.tar import
+
+def _me_kernel(a, reorder=True):
+    """MinkowskiEngine conv kernel (K3, ci, co) -> ours (K3, ci, co).
+
+    ME enumerates hypercube kernel offsets with the FIRST spatial axis
+    varying fastest; our ops/sparse._offsets varies the LAST axis fastest
+    (meshgrid 'ij'). `reorder` permutes rows between the two conventions
+    (an involution for cubic kernels). Verified only against ME docs — a
+    converted-BPNet render test should confirm when a real checkpoint is
+    available."""
+    a = np.asarray(a)
+    if not reorder or a.ndim != 3:
+        return a
+    k3 = a.shape[0]
+    k = round(k3 ** (1 / 3))
+    if k ** 3 != k3:
+        return a
+    idx = np.arange(k3).reshape(k, k, k)           # ME: x fastest
+    perm = idx.transpose(2, 1, 0).reshape(-1)      # ours: z fastest
+    return a[perm]
+
+
+def _bn_t(sd, p):
+    return {"weight": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"],
+            "running_mean": sd[f"{p}.running_mean"],
+            "running_var": sd[f"{p}.running_var"]}
+
+
+def convert_bpnet_checkpoint(path_or_sd, classes: int = 20):
+    """Convert a reference BPNet checkpoint (bpnetweight flag, e.g.
+    bpnet_5cm.pth.tar with a {'state_dict': ...} wrapper) into our
+    param tree (models/bpnet). Maps the 2D ResUNet-34, the MinkUNet18A
+    stages, and the 4 Linking modules (bpnet.py:212-245 naming)."""
+    if isinstance(path_or_sd, str):
+        import torch
+        raw = torch.load(path_or_sd, map_location="cpu", weights_only=False)
+        sd = raw.get("state_dict", raw.get("model", raw))
+        sd = {(k[len("module."):] if k.startswith("module.") else k):
+              (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+              for k, v in sd.items()}
+    else:
+        sd = path_or_sd
+
+    out: Dict[str, Any] = {"unet2d": {}, "unet3d": {}}
+
+    # ---- 2D branch
+    def block2d(prefix, stride):
+        b = {"conv1": _conv_w(sd[f"{prefix}.conv1.weight"]),
+             "bn1": _bn_t(sd, f"{prefix}.bn1"),
+             "conv2": _conv_w(sd[f"{prefix}.conv2.weight"]),
+             "bn2": _bn_t(sd, f"{prefix}.bn2"), "stride": stride}
+        if f"{prefix}.downsample.0.weight" in sd:
+            b["downsample"] = {
+                "conv": _conv_w(sd[f"{prefix}.downsample.0.weight"]),
+                "bn": _bn_t(sd, f"{prefix}.downsample.1")}
+        return b
+
+    def layer2d(prefix, stride):
+        blocks = []
+        i = 0
+        while f"{prefix}.{i}.conv1.weight" in sd:
+            blocks.append(block2d(f"{prefix}.{i}", stride if i == 0 else 1))
+            i += 1
+        return blocks
+
+    u2 = out["unet2d"]
+    u2["conv1"] = _conv_w(sd["layer0_2d.0.weight"])
+    u2["bn1"] = _bn_t(sd, "layer0_2d.1")
+    for i, stride in ((1, 1), (2, 2), (3, 2), (4, 2)):
+        u2[f"layer{i}"] = layer2d(f"layer{i}_2d", stride)
+    for j in (4, 3, 2):
+        u2[f"up{j}"] = {"conv": _conv_w(sd[f"up{j}_2d.0.weight"]),
+                        "bn": _bn_t(sd, f"up{j}_2d.1")}
+        u2[f"delayer{j}"] = layer2d(f"delayer{j}_2d", 1)
+    u2["cls"] = {"conv1": _conv_w(sd["cls_2d.0.weight"]),
+                 "bn": _bn_t(sd, "cls_2d.1"),
+                 "conv2": _conv_w(sd["cls_2d.3.weight"]),
+                 "bias2": sd["cls_2d.3.bias"]}
+
+    # ---- 3D branch (ME kernels are already (K3, ci, co))
+    u3 = out["unet3d"]
+    u3["conv0p1s1"] = _me_kernel(sd["layer0_3d.0.kernel"])
+    u3["bn0"] = _bn_t(sd, "layer0_3d.1.bn")
+
+    def mink_block(prefix):
+        b = {"conv1": _me_kernel(sd[f"{prefix}.conv1.kernel"]),
+             "bn1": _bn_t(sd, f"{prefix}.norm1.bn"),
+             "conv2": _me_kernel(sd[f"{prefix}.conv2.kernel"]),
+             "bn2": _bn_t(sd, f"{prefix}.norm2.bn")}
+        if f"{prefix}.downsample.0.kernel" in sd:
+            b["downsample"] = {
+                "conv": _me_kernel(sd[f"{prefix}.downsample.0.kernel"]),
+                "bn": _bn_t(sd, f"{prefix}.downsample.1.bn")}
+        return b
+
+    def mink_blocks(prefix):
+        blocks = []
+        i = 0
+        while f"{prefix}.{i}.conv1.kernel" in sd:
+            blocks.append(mink_block(f"{prefix}.{i}"))
+            i += 1
+        return blocks
+
+    # encoder stages: layer{i}_3d = Sequential(conv, bn, relu, blocks)
+    for i in range(1, 5):
+        u3[f"conv{i}"] = _me_kernel(sd[f"layer{i}_3d.0.kernel"])
+        u3[f"bn{i}"] = _bn_t(sd, f"layer{i}_3d.1.bn")
+        u3[f"block{i}"] = mink_blocks(f"layer{i}_3d.3")
+    # decoder: layer5 = (convtr4, bn); layer6 = (block5, convtr5, bn); ...
+    u3["convtr4"] = _me_kernel(sd["layer5_3d.0.kernel"])
+    u3["bntr4"] = _bn_t(sd, "layer5_3d.1.bn")
+    for li, (bname, tname) in ((6, ("block5", "convtr5")),
+                               (7, ("block6", "convtr6")),
+                               (8, ("block7", "convtr7"))):
+        u3[bname] = mink_blocks(f"layer{li}_3d.0")
+        u3[tname] = _me_kernel(sd[f"layer{li}_3d.1.kernel"])
+        u3[f"bntr{tname[-1]}"] = _bn_t(sd, f"layer{li}_3d.2.bn")
+    u3["block8"] = mink_blocks("layer9_3d")
+    u3["final"] = {"kernel": _me_kernel(sd["cls_3d.kernel"]),
+                   "bias": sd.get("cls_3d.bias", np.zeros(classes, np.float32))}
+
+    # ---- linkers
+    for lv in ("p5", "p4", "p3", "p2"):
+        p = f"linker_{lv}"
+        out[p] = {
+            "view_fusion": {
+                "conv1": _me_kernel(sd[f"{p}.view_fusion.0.kernel"]),
+                "bn1": _bn_t(sd, f"{p}.view_fusion.1.bn"),
+                "conv2": _me_kernel(sd[f"{p}.view_fusion.3.kernel"]),
+                "bn2": _bn_t(sd, f"{p}.view_fusion.4.bn")},
+            "fuseTo3d": {
+                "conv": _me_kernel(sd[f"{p}.fuseTo3d.0.kernel"]),
+                "bn": _bn_t(sd, f"{p}.fuseTo3d.1.bn")},
+            "view_sep": {
+                "conv": _me_kernel(sd[f"{p}.view_sep.0.kernel"]),
+                "bn": _bn_t(sd, f"{p}.view_sep.1.bn")},
+            "fuseTo2d": {
+                "conv": _conv_w(sd[f"{p}.fuseTo2d.0.weight"]),
+                "bn": _bn_t(sd, f"{p}.fuseTo2d.1")},
+        }
+    return out
