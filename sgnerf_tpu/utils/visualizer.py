@@ -91,5 +91,14 @@ class Visualizer:
             print(f"gen_video: no frames matching {pattern} in {img_dir}")
             return
         frames = [imageio.imread(os.path.join(img_dir, f)) for f in files]
-        imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+        try:
+            imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+        except Exception as e:
+            # no ffmpeg backend in this environment: fall back to GIF
+            # (the reference writes .mov/.gif, visualizer.py:85-95)
+            gif_path = os.path.splitext(out_path)[0] + ".gif"
+            print(f"gen_video: {type(e).__name__} writing {out_path}; "
+                  f"falling back to {gif_path}")
+            imageio.mimwrite(gif_path, frames, fps=min(fps, 24), loop=0)
+            out_path = gif_path
         print(f"video written: {out_path} ({len(frames)} frames)")
