@@ -19,6 +19,12 @@ def setup(cache_dir: str = None):
     import jax
     cache_dir = cache_dir or os.environ.get(
         "SGNERF_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
+    # separate per platform: CPU reusing TPU-era entries triggers loud XLA
+    # machine-feature-mismatch warnings. Read the env (NOT
+    # jax.default_backend(), which would initialize and lock the platform
+    # before dryrun_multichip can flip to CPU).
+    plat = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    cache_dir = os.path.join(cache_dir, plat.replace(",", "_"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
