@@ -129,6 +129,11 @@ def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     net_tx, pts_tx = make_optimizers(tcfg)
 
     def loss_fn(params, pts):
+        # frozen fields get stop_gradient BEFORE the forward so XLA never
+        # builds their backward transposes (the xyz path alone would add a
+        # scatter-heavy gradient through every neighbor gather)
+        pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
+               for k, v in pts.items()}
         cloud = _with_points(state.cloud, pts)
         out = render_rays(
             params, cloud, grid, cfg,
