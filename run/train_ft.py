@@ -178,6 +178,12 @@ def main():
         if total_steps % opt.save_iter_freq == 0:
             model.save_checkpoint(total_steps)
 
+        if opt.save_point_freq > 0 and total_steps % opt.save_point_freq == 0:
+            act = np.asarray(model.state.cloud.active)
+            visualizer.save_neural_points(
+                total_steps, np.asarray(model.state.cloud.xyz)[act],
+                colors=np.asarray(model.state.cloud.color)[act])
+
         if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
             if test_opt_ds is None:
                 import copy
