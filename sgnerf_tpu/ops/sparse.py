@@ -28,18 +28,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_dataclass
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SparseGrid:
     coords: jnp.ndarray   # (M,3) int32 voxel coords (at this stride level)
     feats: jnp.ndarray    # (M,C) f32
     mask: jnp.ndarray     # (M,) bool — live rows
     lookup: jnp.ndarray   # (X*Y*Z,) int32 coord->row (-1 empty)
-    dims: jnp.ndarray     # (3,) int32 — static per scene in practice
+    dims: Tuple[int, int, int]  # STATIC grid extent (pytree aux data, so
+    #                             SparseGrid works as a jit argument)
 
     @property
     def M(self) -> int:
         return self.coords.shape[0]
+
+    def tree_flatten(self):
+        return ((self.coords, self.feats, self.mask, self.lookup),
+                tuple(self.dims))
+
+    @classmethod
+    def tree_unflatten(cls, dims, children):
+        return cls(*children, dims=dims)
 
 
 def _linear(coords, dims):
@@ -50,17 +59,18 @@ def _linear(coords, dims):
 def make_sparse_grid(coords: jnp.ndarray, feats: jnp.ndarray,
                      dims: Tuple[int, int, int],
                      mask: Optional[jnp.ndarray] = None) -> SparseGrid:
-    """coords int (M,3) in [0, dims); rows with mask=False are padding."""
+    """coords int (M,3) in [0, dims); rows with mask=False are padding.
+    `dims` must be a static python tuple."""
     M = coords.shape[0]
     if mask is None:
         mask = jnp.ones((M,), bool)
-    dims_a = jnp.asarray(dims, jnp.int32)
+    dims = tuple(int(d) for d in dims)
     nvox = int(np.prod(dims))
-    lin = jnp.where(mask, _linear(coords, dims_a), nvox)
+    lin = jnp.where(mask, _linear(coords, jnp.asarray(dims, jnp.int32)), nvox)
     lookup = jnp.full((nvox,), -1, jnp.int32).at[lin].set(
         jnp.arange(M, dtype=jnp.int32), mode="drop")
     return SparseGrid(coords=coords.astype(jnp.int32), feats=feats,
-                      mask=mask, lookup=lookup, dims=dims_a)
+                      mask=mask, lookup=lookup, dims=dims)
 
 
 def _offsets(k: int) -> np.ndarray:
@@ -75,7 +85,7 @@ def _offsets(k: int) -> np.ndarray:
 
 def _gather_rows(grid: SparseGrid, coords):
     """coords (...,3) -> (row (...,), valid (...,))."""
-    dims = grid.dims
+    dims = jnp.asarray(grid.dims, jnp.int32)
     inb = jnp.all((coords >= 0) & (coords < dims), axis=-1)
     lin = jnp.clip(_linear(coords, dims), 0,
                    grid.lookup.shape[0] - 1)
@@ -110,8 +120,8 @@ def sparse_conv_down(grid: SparseGrid, weight: jnp.ndarray,
     weight: (8, Ci, Co)."""
     M = grid.M
     parent = jnp.where(grid.mask[:, None], grid.coords >> 1, 0)
-    pdims = (grid.dims + 1) >> 1
-    nvox_p = int(np.prod([int(d) for d in np.asarray(grid.dims)])) // 1
+    pdims_t = tuple((d + 1) // 2 for d in grid.dims)
+    pdims = jnp.asarray(pdims_t, jnp.int32)
     # build unique parent set via sort
     plin = jnp.where(grid.mask, _linear(parent, pdims),
                      jnp.iinfo(jnp.int32).max)
@@ -127,9 +137,7 @@ def sparse_conv_down(grid: SparseGrid, weight: jnp.ndarray,
     omask = jnp.zeros((out_capacity,), bool).at[tgt].set(True, mode="drop")
 
     out_grid = make_sparse_grid(
-        oc, jnp.zeros((out_capacity, weight.shape[-1])),
-        tuple(int(d) for d in np.asarray((np.asarray(grid.dims) + 1) // 2)),
-        mask=omask)
+        oc, jnp.zeros((out_capacity, weight.shape[-1])), pdims_t, mask=omask)
 
     offs = jnp.asarray(_offsets(2))                    # (8,3)
     child = oc[:, None, :] * 2 + offs                  # (Mo,8,3)
