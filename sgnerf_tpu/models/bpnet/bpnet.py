@@ -220,7 +220,13 @@ class BPNet:
         self.cfg = cfg
         self.params = params if params is not None else init_bpnet_params(
             key if key is not None else jax.random.key(0), cfg)
-        self._jitted = None
+        # jitted forward, recompiled only when (M, dims, caps) change;
+        # params passed as an ARGUMENT (closures would embed 30+ MB of
+        # weights as HLO constants)
+        self._jit = jax.jit(
+            lambda p, g, im, l, caps: bpnet_forward(p, self.cfg, g, im, l,
+                                                    caps),
+            static_argnames=("caps",))
 
     def _select_views(self, frames_path: List[str], image_path: str):
         """Deterministic view split; the current frame leads when present
@@ -293,11 +299,11 @@ class BPNet:
         M = len(vcoords)
         grid = make_sparse_grid(jnp.asarray(vcoords), jnp.asarray(vfeats),
                                 dims)
-        down_caps = [M, M, max(M // 2, 64), max(M // 4, 64)]
+        down_caps = (M, M, max(M // 2, 64), max(M // 4, 64))
 
-        softmax3d, logits2d, feat3d = bpnet_forward(
-            self.params, self.cfg, grid, jnp.asarray(imgs),
-            jnp.asarray(vlinks), down_caps)
+        softmax3d, logits2d, feat3d = self._jit(
+            self.params, grid, jnp.asarray(imgs), jnp.asarray(vlinks),
+            down_caps)
 
         probs = np.asarray(softmax3d)[inds_rec]     # devoxelize (N,classes)
         labels = probs.argmax(-1)

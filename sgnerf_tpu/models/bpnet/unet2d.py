@@ -42,18 +42,19 @@ def bn_act(x, p, act=True):
 def init_basic_block2d(key, ci, co, stride=1):
     k1, k2, k3 = jax.random.split(key, 3)
     p = {"conv1": _conv(k1, 3, 3, ci, co), "bn1": _bn(co),
-         "conv2": _conv(k2, 3, 3, co, co), "bn2": _bn(co),
-         "stride": stride}
+         "conv2": _conv(k2, 3, 3, co, co), "bn2": _bn(co)}
     if stride != 1 or ci != co:
         p["downsample"] = {"conv": _conv(k3, 1, 1, ci, co), "bn": _bn(co)}
     return p
 
 
-def apply_basic_block2d(p, x):
-    y = bn_act(conv2d(x, p["conv1"], stride=p["stride"]), p["bn1"])
+def apply_basic_block2d(p, x, stride=1):
+    # stride is STATIC (first block of layers 2-4 downsamples) — it must not
+    # live in the params pytree or jit would trace it
+    y = bn_act(conv2d(x, p["conv1"], stride=stride), p["bn1"])
     y = batch_norm(conv2d(y, p["conv2"]), p["bn2"], act=False)
     if "downsample" in p:
-        x = batch_norm(conv2d(x, p["downsample"]["conv"], stride=p["stride"]),
+        x = batch_norm(conv2d(x, p["downsample"]["conv"], stride=stride),
                        p["downsample"]["bn"], act=False)
     return relu(y + x)
 
@@ -64,6 +65,10 @@ def _layer(key, ci, co, n, stride):
     for i in range(1, n):
         blocks.append(init_basic_block2d(keys[i], co, co, 1))
     return blocks
+
+
+# encoder layer index -> first-block stride
+LAYER_STRIDES = {1: 1, 2: 2, 3: 2, 4: 2}
 
 
 def init_unet2d_params(key, classes: int = 20, layers34=(3, 4, 6, 3)):
@@ -104,19 +109,14 @@ def encoder_apply(p, imgs):
     """imgs (N,H,W,3) -> x (1/4), x2 (1/4), x3 (1/8), x4 (1/16), x5 (1/32)."""
     x = bn_act(conv2d(imgs, p["conv1"], stride=2), p["bn1"])
     x = max_pool_3x3_s2(x)
-    x2 = x
-    for b in p["layer1"]:
-        x2 = apply_basic_block2d(b, x2)
-    x3 = x2
-    for b in p["layer2"]:
-        x3 = apply_basic_block2d(b, x3)
-    x4 = x3
-    for b in p["layer3"]:
-        x4 = apply_basic_block2d(b, x4)
-    x5 = x4
-    for b in p["layer4"]:
-        x5 = apply_basic_block2d(b, x5)
-    return x, x2, x3, x4, x5
+    outs = [x]
+    cur = x
+    for li in (1, 2, 3, 4):
+        for bi, b in enumerate(p[f"layer{li}"]):
+            cur = apply_basic_block2d(
+                b, cur, stride=LAYER_STRIDES[li] if bi == 0 else 1)
+        outs.append(cur)
+    return tuple(outs)
 
 
 def up_block(p, up_name, de_name, x_coarse, x_skip):

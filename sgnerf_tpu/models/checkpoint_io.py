@@ -343,7 +343,7 @@ def convert_bpnet_checkpoint(path_or_sd, classes: int = 20):
         b = {"conv1": _conv_w(sd[f"{prefix}.conv1.weight"]),
              "bn1": _bn_t(sd, f"{prefix}.bn1"),
              "conv2": _conv_w(sd[f"{prefix}.conv2.weight"]),
-             "bn2": _bn_t(sd, f"{prefix}.bn2"), "stride": stride}
+             "bn2": _bn_t(sd, f"{prefix}.bn2")}
         if f"{prefix}.downsample.0.weight" in sd:
             b["downsample"] = {
                 "conv": _conv_w(sd[f"{prefix}.downsample.0.weight"]),
