@@ -36,8 +36,34 @@ def main():
 
     subdir = "vid"
     out_dir = os.path.join(visualizer.image_dir, subdir)
-    for i in range(len(dataset)):
-        item = dataset.get_item(i, full_img=True)
+
+    # frame source: blender-style render_poses when the dataset has them,
+    # else a SLERP-interpolated path through the test poses (reference uses
+    # dataset.render_poses / get_dummyrot_item, run/render_vid.py:26-79)
+    if hasattr(dataset, "get_dummyrot_item"):
+        n_frames = max(len(dataset), opt.render_stride)
+        get = dataset.get_dummyrot_item
+    else:
+        keys = [dataset.get_item(i)["c2w"] for i in range(len(dataset))]
+        from sgnerf_tpu.utils.camera_path import interpolate_poses
+        n_frames = max(2 * len(keys), opt.render_stride)
+        path = interpolate_poses(np.stack(keys), n_frames)
+
+        def get(i):
+            item = dataset.get_item(0, full_img=False)
+            pose = path[i]
+            item["campos"] = pose[:3, 3]
+            item["camrotc2w"] = pose[:3, :3]
+            from sgnerf_tpu.ops.camera import get_dtu_raydir
+            import jax.numpy as jnp
+            pix = item["pixel_idx"]
+            item["raydir"] = np.asarray(get_dtu_raydir(
+                jnp.asarray(pix), jnp.asarray(item["intrinsic"]),
+                jnp.asarray(item["camrotc2w"]), True)).astype(np.float32)
+            return item
+
+    for i in range(n_frames):
+        item = get(i)
         t0 = time.time()
         col = model.render_image(item)
         pix = item["pixel_idx"]
