@@ -96,7 +96,6 @@ def run_test(model, dataset, visualizer, total_steps, num_images=None,
         item = dataset.get_item(i, full_img=True)
         t0 = time.time()
         col = model.render_image(item)
-        h = int(np.sqrt(len(col))) if False else None
         # reshape using the pixel window the dataset sampled
         npx = item["pixel_idx"]
         W = int(npx[:, 0].max() - npx[:, 0].min() + 1)
