@@ -93,7 +93,17 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         points_label_prob=cloud.label_prob if use_sem else None,
         key=ks, semantic_guidance=use_sem)
 
-    sample_pidx = q.sample_pidx                      # (B,R,SR,K)
+    return _shade_and_march(params, cloud, cfg, q.sample_pidx,
+                            q.sample_loc_w, q.ray_mask, campos, raydir,
+                            camrotc2w, bg_color, prob)
+
+
+def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
+                     campos, raydir, camrotc2w, bg_color, prob):
+    """Everything downstream of the neighbor query: gather -> aggregate ->
+    march -> outputs (shared by the world- and perspective-space paths)."""
+    B, R, _ = raydir.shape
+    agg = cfg.agg
     sample_pnt_mask = sample_pidx >= 0
     pid = jnp.clip(sample_pidx, 0, cloud.capacity - 1).astype(jnp.int32)
 
@@ -121,8 +131,8 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         sampled_xyz.reshape(B, -1, 3), camrotc2w, campos).reshape(
             sampled_xyz.shape)
     sample_loc = jax.vmap(w2pers)(
-        q.sample_loc_w.reshape(B, -1, 3), camrotc2w, campos).reshape(
-            q.sample_loc_w.shape)
+        sample_loc_w.reshape(B, -1, 3), camrotc2w, campos).reshape(
+            sample_loc_w.shape)
 
     sample_ray_dirs = jnp.broadcast_to(
         raydir[:, :, None, :], (B, R, cfg.SR, 3))
@@ -138,7 +148,7 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         sampled_xyz_pers=pers,
         sample_pnt_mask=sample_pnt_mask,
         sample_loc=sample_loc,
-        sample_loc_w=q.sample_loc_w,
+        sample_loc_w=sample_loc_w,
         sample_ray_dirs=sample_ray_dirs,
         Rw2c=cloud.Rw2c,
         vsize=cfg.vsize)
@@ -162,7 +172,7 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         "queried_shading": jnp.broadcast_to(
             jnp.logical_not(jnp.any(ray_valid, axis=-1, keepdims=True)
                             ).astype(jnp.float32), (B, R, 3)),
-        "ray_mask": q.ray_mask,                             # (B,R) bool
+        "ray_mask": ray_mask,                             # (B,R) bool
         "ray_valid": ray_valid,
         "weight": jax.lax.stop_gradient(weight),
         "blend_weight": jax.lax.stop_gradient(blend_weight),
@@ -180,7 +190,7 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
             idx = jnp.broadcast_to(idx, (B, R, 1) + a.shape[3:])
             return jnp.take_along_axis(a, idx, axis=2)[:, :, 0]
         output["ray_max_shading_opacity"] = max_op           # (B,R,1)
-        output["ray_max_sample_loc_w"] = take(q.sample_loc_w)  # (B,R,3)
+        output["ray_max_sample_loc_w"] = take(sample_loc_w)  # (B,R,3)
         wsel = take(weight * conf_coefficient)[..., None]    # (B,R,K,1)
         xyz_sel = take(sampled_xyz)                          # (B,R,K,3)
         output["ray_max_far_dist"] = jnp.min(
@@ -194,3 +204,37 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
             take(sampled_embedding) * wsel, -2)
 
     return output
+
+
+@partial(jax.jit, static_argnames=("pspec", "cfg", "is_train", "prob"))
+def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
+                            pspec, cfg: RenderConfig, *,
+                            campos, raydir, camrotc2w, near, far,
+                            bg_color=None, key=None, is_train=False,
+                            prob=False):
+    """Point-NeRF's original perspective-space query path (wcoord_query=0,
+    reference query_point_indices.py): the grid is rebuilt per frame in
+    camera perspective space (static frustum spec -> one compile), shading
+    then proceeds exactly like the world-space path."""
+    from ..ops.query_pers import query_neighbors_perspective
+    from ..ops.camera import pers2w
+
+    kj = ks = None
+    if key is not None:
+        kj, ks = jax.random.split(key)
+    raygen = find_ray_generation_method(cfg.which_ray_generation)
+    raypos, _, _, _ = raygen(
+        campos, raydir, cfg.z_depth_dim, near=near, far=far,
+        jitter=cfg.jitter if is_train else 0.0, key=kj)
+
+    res, _ = query_neighbors_perspective(
+        cloud.xyz, cloud.active, raypos, camrotc2w, campos, pspec,
+        K=cfg.K, SR=cfg.SR, radius_limit=cfg.radius_limit, key=ks)
+    # res.sample_loc_w holds PERSPECTIVE coords; lift back to world for the
+    # shared shading path
+    loc_w = pers2w(res.sample_loc_w.reshape(-1, 3), camrotc2w[0],
+                   campos[0]).reshape(res.sample_loc_w.shape)
+    loc_w = jnp.where(res.sample_loc_mask[..., None], loc_w, 0.0)
+    return _shade_and_march(params, cloud, cfg, res.sample_pidx, loc_w,
+                            res.ray_mask, campos, raydir, camrotc2w,
+                            bg_color, prob)

@@ -19,7 +19,10 @@ def w2pers(point_xyz_w: jnp.ndarray, camrotc2w: jnp.ndarray, campos: jnp.ndarray
     shift = point_xyz_w - campos
     xyz_c = shift @ camrotc2w  # == R^T shift per point
     z = xyz_c[..., 2]
-    return jnp.stack([xyz_c[..., 0] / z, xyz_c[..., 1] / z, z], axis=-1)
+    # guard the division: masked/padded inputs can sit exactly at the camera
+    # (z == 0) and a NaN here would poison downstream cummax/ray_dist
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    return jnp.stack([xyz_c[..., 0] / zs, xyz_c[..., 1] / zs, z], axis=-1)
 
 
 def pers2w(point_xyz_pers: jnp.ndarray, camrotc2w: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:

@@ -74,3 +74,37 @@ def query_neighbors_perspective(points_xyz: jnp.ndarray,
     res = query_neighbors(grid, pers, raypos_p, K=K, SR=SR,
                           radius_limit=radius_limit, key=key)
     return res, pers
+
+
+def perspective_spec_from_camera(intrinsic: np.ndarray, W: int, H: int,
+                                 near: float, far: float, vsize, vscale,
+                                 kernel_size, max_o, P,
+                                 pad_frac: float = 0.1) -> GridSpec:
+    """STATIC per-scene perspective grid spec from the camera frustum
+    (x,y in tan-angle units bounded by the image extent, z in [near,far]).
+
+    Unlike `perspective_grid_spec` (data-dependent bounds -> per-frame
+    recompiles), this gives one fixed grid geometry for the whole scene so
+    the per-frame rebuild jits once."""
+    fx, fy = float(intrinsic[0, 0]), float(intrinsic[1, 1])
+    cx, cy = float(intrinsic[0, 2]), float(intrinsic[1, 2])
+    x_lo = -(cx / fx) * (1 + pad_frac)
+    x_hi = ((W - cx) / fx) * (1 + pad_frac)
+    y_lo = -(cy / fy) * (1 + pad_frac)
+    y_hi = ((H - cy) / fy) * (1 + pad_frac)
+    vsize = np.asarray(vsize, np.float64)
+    vscale = np.asarray(vscale, np.float64)
+    scaled = vsize * vscale
+    mn = np.array([x_lo, y_lo, near], np.float64)
+    mx = np.array([x_hi, y_hi, far], np.float64)
+    ks = np.asarray(kernel_size, np.float64)
+    mn = mn - scaled * ks / 2
+    mx = mx + scaled * ks / 2
+    vdim = np.ceil((mx - mn) / vsize / vscale).astype(np.int64)
+    return GridSpec(
+        min_corner=tuple(float(v) for v in mn),
+        vsize=tuple(float(v) for v in scaled),
+        vdim=tuple(int(v) for v in vdim),
+        max_o=int(max_o), P=int(P),
+        kernel_size=tuple(int(k) for k in np.asarray(kernel_size)),
+        nbr_cache=0)

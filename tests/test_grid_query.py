@@ -229,3 +229,35 @@ def test_perspective_query_smoke():
                 if k >= 0:
                     d2 = ((pe[k] - loc[0, r, s]) ** 2).sum()
                     assert d2 <= 0.2 ** 2 + 1e-6
+
+
+def test_render_rays_perspective_smoke():
+    import jax
+    from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                              init_aggregator_params)
+    from sgnerf_tpu.models.point_cloud import make_point_cloud
+    from sgnerf_tpu.models.renderer import (RenderConfig,
+                                            render_rays_perspective)
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+    rng = np.random.default_rng(12)
+    xyz = _small_cloud(600, seed=12) + np.array([0, 0, 3], np.float32)
+    cloud = make_point_cloud(xyz, rng.normal(size=(600, 32)).astype(np.float32) * 0.1,
+                             color=np.zeros((600, 3), np.float32),
+                             dir=np.zeros((600, 3), np.float32))
+    intr = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]])
+    pspec = perspective_spec_from_camera(intr, 32, 24, 1.0, 6.0,
+                                         [0.05] * 3, [1, 1, 1], [3, 3, 3],
+                                         8192, 8)
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=32, SR=6, K=4,
+                       vsize=(0.05,) * 3)
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    d = rng.normal(size=(1, 16, 3)).astype(np.float32) * 0.2
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = render_rays_perspective(
+        params, cloud, pspec, cfg, campos=jnp.zeros((1, 3)),
+        raydir=jnp.asarray(d), camrotc2w=jnp.eye(3)[None],
+        near=1.0, far=6.0, bg_color=jnp.ones(3))
+    col = np.asarray(out["coarse_raycolor"])
+    assert col.shape == (1, 16, 3) and np.isfinite(col).all()
+    assert np.asarray(out["ray_mask"]).any()
