@@ -4,8 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: jitted neural-point render at the reference's canonical evaluation
 configuration (SR=24 shading points/ray, K=8 neighbors, 400 raw samples/ray —
-dev_scripts/.../scene0241_02_semanticGuidance.sh), test-time chunks of 2304
-rays (48^2, run/test_ft.py:331), on a synthetic room-scale point cloud.
+dev_scripts/.../scene0241_02_semanticGuidance.sh) over 640x480 frames, on a
+synthetic room-scale point cloud. Rays shard over all available chips.
 
 vs_baseline: the repo publishes no reference numbers (BASELINE.md). We use a
 nominal 25k rays/s for a Point-NeRF-class renderer on an A100-class GPU as the
