@@ -26,7 +26,8 @@ from evaluate import report_metrics  # noqa: E402
 
 def main():
     opt = TestOptions().parse()
-    opt.split = "test"
+    # --test_train evaluates on the training split (reference test_ft flag)
+    opt.split = "train" if opt.test_train else "test"
     opt.random_sample = "no_crop"
     visualizer = Visualizer(opt)
     dataset = create_dataset(opt)
