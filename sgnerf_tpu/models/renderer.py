@@ -36,6 +36,34 @@ from .aggregator import AggregatorConfig, aggregate
 from .point_cloud import NeuralPointCloud
 
 
+@jax.custom_vjp
+def gather_rows(table, idx):
+    """table[(N,C)][idx] with a sort+segment_sum backward.
+
+    XLA's gather transpose is a scatter-add that serializes on duplicate
+    indices — and neighbor indices repeat heavily (adjacent shading points
+    share neighbors). Sorting the cotangent rows by index and segment-summing
+    turns the collision-heavy scatter into a sort + a clean reduction."""
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    idx, n = res
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    order = jnp.argsort(flat_idx)
+    dt = jax.ops.segment_sum(flat_g[order], flat_idx[order], num_segments=n,
+                             indices_are_sorted=True)
+    return dt.astype(g.dtype), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static render/query configuration (canonical ScanNet values from
@@ -113,7 +141,7 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     packed = jnp.concatenate(
         [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
         + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
-    g = packed[pid]                                   # (B,R,SR,K,C)
+    g = gather_rows(packed, pid)                      # (B,R,SR,K,C)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]

@@ -103,3 +103,23 @@ def test_prob_mode_outputs(scene):
     assert out["ray_max_sample_loc_w"].shape == (1, 16, 3)
     assert out["shading_avg_embedding"].shape[-1] == 32
     assert np.isfinite(np.asarray(out["ray_max_far_dist"])).all()
+
+
+def test_gather_rows_custom_vjp_matches_plain():
+    from sgnerf_tpu.models.renderer import gather_rows
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(40, 7)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(3, 8, 2)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(3, 8, 2, 7)).astype(np.float32))
+
+    def f_custom(t):
+        return jnp.sum(gather_rows(t, idx) * cot)
+
+    def f_plain(t):
+        return jnp.sum(t[idx] * cot)
+
+    g1 = jax.grad(f_custom)(table)
+    g2 = jax.grad(f_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gather_rows(table, idx)),
+                               np.asarray(table[idx]), atol=0)
