@@ -141,7 +141,10 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     packed = jnp.concatenate(
         [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
         + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
-    g = gather_rows(packed, pid)                      # (B,R,SR,K,C)
+    # NOTE: gather_rows (sort+segment_sum backward) measured SLOWER than the
+    # default scatter-add transpose at 1024-ray batches (137.5 vs 128 ms
+    # train step) — plain gather kept; revisit at larger batches (NEXT.md)
+    g = packed[pid]                                   # (B,R,SR,K,C)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]
