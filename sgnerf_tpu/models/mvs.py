@@ -34,15 +34,24 @@ def leaky_relu(x, slope=0.01):
     return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
-def conv2d(x, w, stride=1, padding="SAME"):
-    """x: (N,H,W,C), w: (kh,kw,ci,co)."""
+def conv2d(x, w, stride=1, padding=None):
+    """x: (N,H,W,C), w: (kh,kw,ci,co).
+
+    Default padding is TORCH-style symmetric k//2 per side (the reference
+    nets use Conv(k, stride, padding=k//2)). XLA's "SAME" pads
+    asymmetrically for stride>1, which would misalign converted torch
+    checkpoints by one pixel in every downsampling conv."""
+    if padding is None:
+        padding = [(w.shape[0] // 2,) * 2, (w.shape[1] // 2,) * 2]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def conv3d(x, w, stride=1, padding="SAME"):
-    """x: (N,D,H,W,C), w: (kd,kh,kw,ci,co)."""
+def conv3d(x, w, stride=1, padding=None):
+    """x: (N,D,H,W,C), w: (kd,kh,kw,ci,co). Torch-style padding (see conv2d)."""
+    if padding is None:
+        padding = [(w.shape[i] // 2,) * 2 for i in range(3)]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,) * 3, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))

@@ -132,3 +132,22 @@ def test_raydir_unit_norm():
     dirs = get_dtu_raydir(pix, intr, rot, dir_norm=True)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(dirs), axis=-1), 1.0, atol=1e-4)
+
+
+def test_sample_pdf_matches_reference(torch, ref_march):
+    """Deterministic-mode importance resampling vs the reference's numpy
+    implementation (diff_ray_marching.py:36-82)."""
+    from sgnerf_tpu.ops.raygen import sample_pdf
+    rng = np.random.default_rng(9)
+    N, R, S = 1, 5, 12
+    bins = np.sort(rng.uniform(1.0, 5.0, size=(N, R, S, 1)).astype(np.float32),
+                   axis=2)
+    weights = rng.uniform(0.1, 1.0, size=(N, R, S, 1)).astype(np.float32)
+    n_samples = 8
+
+    ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights),
+                                 n_samples, det=True))
+    want = ref_march.sample_pdf(torch.from_numpy(bins),
+                                torch.from_numpy(weights), n_samples,
+                                det=True).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-4)

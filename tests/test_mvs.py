@@ -100,3 +100,31 @@ def test_conv_transpose3d_matches_torch():
     w = np.transpose(wt, (2, 3, 4, 1, 0))
     got = np.asarray(conv_transpose3d_s2(jnp.asarray(x), jnp.asarray(w)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_conv2d_stride2_matches_torch():
+    """Downsampling convs must match torch's symmetric padding — XLA SAME
+    pads asymmetrically for stride 2 and misaligns by one pixel."""
+    torch = pytest.importorskip("torch")
+    from sgnerf_tpu.models.mvs import conv2d, conv3d
+    rng = np.random.default_rng(0)
+    for k, s, H, W in ((5, 2, 16, 20), (3, 2, 8, 8), (3, 1, 7, 9),
+                       (7, 2, 12, 16)):
+        x = rng.normal(size=(1, H, W, 4)).astype(np.float32)
+        wt = rng.normal(size=(6, 4, k, k)).astype(np.float32)  # torch OIHW
+        want = torch.nn.functional.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(wt),
+            stride=s, padding=k // 2).permute(0, 2, 3, 1).numpy()
+        w = np.transpose(wt, (2, 3, 1, 0))  # HWIO
+        got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=s))
+        np.testing.assert_allclose(got, want, atol=2e-4,
+                                   err_msg=f"k={k} s={s} H={H} W={W}")
+    # 3D
+    x = rng.normal(size=(1, 8, 6, 10, 3)).astype(np.float32)
+    wt = rng.normal(size=(5, 3, 3, 3, 3)).astype(np.float32)
+    want = torch.nn.functional.conv3d(
+        torch.from_numpy(x).permute(0, 4, 1, 2, 3), torch.from_numpy(wt),
+        stride=2, padding=1).permute(0, 2, 3, 4, 1).numpy()
+    w = np.transpose(wt, (2, 3, 4, 1, 0))
+    got = np.asarray(conv3d(jnp.asarray(x), jnp.asarray(w), stride=2))
+    np.testing.assert_allclose(got, want, atol=2e-4)
