@@ -100,9 +100,9 @@ def max_pool_3x3_s2(x):
 
 
 def resize_to(x, hw):
-    N, H, W, C = x.shape
-    return jax.vmap(lambda im: jax.image.resize(
-        im, (hw[0], hw[1], C), method="linear"))(x)
+    """align_corners=True bilinear (the reference decoder's F.interpolate)."""
+    from ..mvs import resize_bilinear_align_corners
+    return resize_bilinear_align_corners(x, (hw[0], hw[1]))
 
 
 def encoder_apply(p, imgs):

@@ -111,11 +111,36 @@ def grid_sample_norm(img, grid_xy):
     return bilinear_interpolate(img, x, y)
 
 
+def resize_bilinear_align_corners(x, out_hw):
+    """(N,H,W,C) -> (N,h,w,C) bilinear with ALIGN_CORNERS=True.
+
+    torch F.interpolate(align_corners=True) maps output corners onto input
+    corners (src = i*(H-1)/(h-1)); jax.image.resize uses half-pixel centers
+    (align_corners=False), which would skew converted torch checkpoints'
+    decoder features."""
+    N, H, W, C = x.shape
+    h, w = out_hw
+    ys = jnp.linspace(0.0, H - 1.0, h) if h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, W - 1.0, w) if w > 1 else jnp.zeros((1,))
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    fy = (ys - y0)[None, :, None, None]
+    fx = (xs - x0)[None, None, :, None]
+    a = x[:, y0][:, :, x0]
+    b = x[:, y0][:, :, x1]
+    c = x[:, y1][:, :, x0]
+    d = x[:, y1][:, :, x1]
+    top = a * (1 - fx) + b * fx
+    bot = c * (1 - fx) + d * fx
+    return top * (1 - fy) + bot * fy
+
+
 def upsample2x_bilinear(x):
     """(N,H,W,C) -> (N,2H,2W,C), align_corners=True (torch F.interpolate)."""
     N, H, W, C = x.shape
-    return jax.vmap(lambda im: jax.image.resize(
-        im, (2 * H, 2 * W, C), method=jax.image.ResizeMethod.LINEAR))(x)
+    return resize_bilinear_align_corners(x, (2 * H, 2 * W))
 
 
 # ------------------------------------------------------------- feature nets

@@ -128,3 +128,16 @@ def test_conv2d_stride2_matches_torch():
     w = np.transpose(wt, (2, 3, 4, 1, 0))
     got = np.asarray(conv3d(jnp.asarray(x), jnp.asarray(w), stride=2))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_resize_align_corners_matches_torch():
+    torch = pytest.importorskip("torch")
+    from sgnerf_tpu.models.mvs import resize_bilinear_align_corners
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)
+    for out_hw in ((10, 14), (9, 13), (3, 4)):
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+            mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(out_hw))
