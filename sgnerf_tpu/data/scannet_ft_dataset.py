@@ -305,3 +305,43 @@ class ScannetFtDataset:
             centerdirs.append(np.asarray(d))
         return (np.stack(camposes).astype(np.float32),
                 np.concatenate(centerdirs).astype(np.float32))
+
+    # ------------------------------------------------- MVS init-view batches
+
+    def get_init_item(self, idx: int) -> Dict:
+        """Per-view MVS batch: the view plus its init_view_num-1 nearest
+        neighbor views (images, c2w/w2c, intrinsics) for cost-volume depth
+        inference (reference get_init_item, scannet_ft_dataset.py:562-630)."""
+        V = max(1, getattr(self.opt, "init_view_num", 3))
+        vid = self.id_list[idx]
+        poses = {v: np.loadtxt(self._pose_path(v)).astype(np.float32)
+                 for v in self.id_list}
+        ref_pos = poses[vid][:3, 3]
+        others = sorted((v for v in self.id_list if v != vid),
+                        key=lambda v: np.linalg.norm(poses[v][:3, 3]
+                                                     - ref_pos))
+        views = [vid] + others[:V - 1]
+
+        imgs, c2ws, w2cs, intrinsics = [], [], [], []
+        for v in views:
+            with Image.open(self._color_path(v)) as im:
+                imgs.append(np.asarray(im.resize(self.img_wh, Image.NEAREST),
+                                       dtype=np.float32) / 255.0)
+            c2w = poses[v]
+            c2ws.append(c2w)
+            w2cs.append(np.linalg.inv(c2w).astype(np.float32))
+            intrinsics.append(self.intrinsic)
+        item = {
+            "images": np.stack(imgs),                  # (V,H,W,3)
+            "c2ws": np.stack(c2ws),
+            "w2cs": np.stack(w2cs),
+            "intrinsics": np.stack(intrinsics),
+            "view_ids": views,
+            "near": np.float32(self.near_far[0]),
+            "far": np.float32(self.near_far[1]),
+        }
+        dpath = os.path.join(self.data_dir, self.scan, "exported/depth",
+                             f"{vid}.png")
+        if os.path.exists(dpath):
+            item["gt_depth"] = self.read_depth(dpath)
+        return item

@@ -211,3 +211,21 @@ def test_semantic_training_cycle(scene_dir, tmp_path):
     batch = train_ft.make_batch(item)
     losses = model.optimize(batch, jax.random.key(1))
     assert np.isfinite(float(losses["total"]))
+
+
+def test_get_init_item(scene_dir, tmp_path):
+    from sgnerf_tpu.data import create_dataset
+    opt = _opt(scene_dir, tmp_path, extra=["--init_view_num", "3"])
+    ds = create_dataset(opt)
+    item = ds.get_init_item(0)
+    assert item["images"].shape == (3, 36, 48, 3)
+    assert item["c2ws"].shape == (3, 4, 4)
+    assert item["view_ids"][0] == ds.id_list[0]
+    assert "gt_depth" in item
+    # neighbor views are the spatially closest cameras
+    ref = item["c2ws"][0][:3, 3]
+    d1 = np.linalg.norm(item["c2ws"][1][:3, 3] - ref)
+    others = [np.loadtxt(ds._pose_path(v)).astype(np.float32)[:3, 3]
+              for v in ds.id_list if v != item["view_ids"][0]]
+    dmin = min(np.linalg.norm(o - ref) for o in others)
+    assert abs(d1 - dmin) < 1e-5
