@@ -124,6 +124,22 @@ def main():
     resume = model.resolve_resume()
     if resume is not None:
         model.load_checkpoint(resume)
+    elif opt.load_points < 1:
+        # bootstrap branch B: MVSNet depths -> cross-view filter -> embed
+        # (reference gen_points_filter_embeddings, run/train_ft.py:101-170)
+        from sgnerf_tpu.runtime.mvs_bootstrap import (
+            gen_points_filter_embeddings)
+        from sgnerf_tpu.models.point_cloud import make_point_cloud
+        xyz, emb, color, dirs, conf = gen_points_filter_embeddings(
+            dataset, opt, key=jax.random.key(11))
+        print(f"MVS bootstrap produced {len(xyz)} points")
+        cloud = make_point_cloud(xyz, emb, conf=conf, dir=dirs, color=color,
+                                 capacity=model._capacity_for(len(xyz)))
+        model._finish_setup(None, cloud)
+    elif opt.load_points == 2:
+        # bootstrap branch: GT depth unprojection only (run/train_ft.py:668)
+        xyz = dataset.load_init_depth_points(vox_res=100)
+        model.setup_from_points(xyz, None, None, dataset=dataset)
     else:
         xyz, feats, labels = dataset.load_init_points()
         model.setup_from_points(xyz, feats, labels, dataset=dataset)
