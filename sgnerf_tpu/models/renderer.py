@@ -82,6 +82,8 @@ class RenderConfig:
     semantic_guidance: int = 0
     predict_semantic: int = 0
     jitter: float = 0.3              # train-time sample jitter fraction
+    gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
+    #                                  traffic (compute stays f32)
 
     @property
     def radius_limit(self) -> float:
@@ -141,10 +143,12 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     packed = jnp.concatenate(
         [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
         + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
+    if cfg.gather_dtype == "bfloat16":
+        packed = packed.astype(jnp.bfloat16)
     # NOTE: gather_rows (sort+segment_sum backward) measured SLOWER than the
     # default scatter-add transpose at 1024-ray batches (137.5 vs 128 ms
     # train step) — plain gather kept; revisit at larger batches (NEXT.md)
-    g = packed[pid]                                   # (B,R,SR,K,C)
+    g = packed[pid].astype(jnp.float32)               # (B,R,SR,K,C)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]
