@@ -6,10 +6,10 @@ checkpoint, select the part's point indices (txt mask), apply the 4x4
 transform to the part, compose everything into one cloud, set it as the
 model's points (no optimizer), render the test split and write a video.
 
-Delta: the reference composes a per-point Rw2c so rotated parts also rotate
-their view-dependent shading frame; v1 rotates xyz/dir and keeps a global
-identity Rw2c (per-point Rw2c is a renderer TODO, masked parity impact only
-for rotated parts).
+Per-part Rw2c: the reference expands a per-point (N,3,3) Rw2c so rotated
+parts keep their view-dependent shading frame (editing.py:201-205); here
+each part contributes one row of a (T,3,3) rotation table plus a per-point
+rot_idx — the renderer gathers from the tiny table instead.
 """
 from __future__ import annotations
 
@@ -35,10 +35,15 @@ from sgnerf_tpu.models.point_cloud import build_grid, grid_spec_for_cloud  # noq
 
 
 def load_parts(opt):
-    """Load and transform each named part; returns composed cloud + params."""
+    """Load and transform each named part; returns (composed cloud,
+    rotation table (T,3,3), per-point rot_idx). Each rotated part's
+    Rw2c row is its right-multiplied R (reference editing.py:201:
+    "w2c is reversed against movement")."""
     base_dir = opt.resume_dir or os.path.join(opt.checkpoints_dir,
                                               opt.name or "default")
     composed = None
+    rot_rows = [np.eye(3, dtype=np.float32)]
+    rot_idx = np.zeros(0, np.int32)
     for i, name in enumerate(opt.neural_points_names or []):
         path = name if os.path.isabs(name) else os.path.join(base_dir, name)
         part = NeuralPointCloudEdit.from_checkpoint(path)
@@ -47,15 +52,24 @@ def load_parts(opt):
             idx = np.loadtxt(os.path.join(
                 base_dir, opt.parts_index_names[i])).astype(np.int64)
             part = part.select(idx.reshape(-1))
+        row = 0
         if opt.Transformation_names and i < len(opt.Transformation_names) \
                 and opt.Transformation_names[i] not in ("identity", "None"):
             T = np.loadtxt(os.path.join(
                 base_dir, opt.Transformation_names[i])).reshape(4, 4)
             part = transform_point_cloud_global(part, T)
+            R = np.asarray(T[:3, :3], np.float32)
+            if not np.allclose(R, np.eye(3), atol=1e-7):
+                rot_rows.append(R)
+                row = len(rot_rows) - 1
+        # add_point_cloud puts the new part FIRST (child, father)
+        rot_idx = np.concatenate(
+            [np.full(part.n, row, np.int32), rot_idx])
         composed = part if composed is None else add_point_cloud(part,
                                                                  composed)
     assert composed is not None, "no neural_points_names given"
-    return composed
+    table = np.stack(rot_rows) if len(rot_rows) > 1 else rot_rows[0]
+    return composed, table, rot_idx
 
 
 def main():
@@ -65,11 +79,12 @@ def main():
     visualizer = Visualizer(opt)
     dataset = create_dataset(opt)
 
-    composed = load_parts(opt)
+    composed, rot_table, rot_idx = load_parts(opt)
     model = SceneModel(opt)
     cloud = make_point_cloud(
         composed.xyz, composed.embedding, conf=composed.conf.reshape(-1, 1),
-        dir=composed.dir, color=composed.color, label=composed.label)
+        dir=composed.dir, color=composed.color, label=composed.label,
+        Rw2c=rot_table, rot_idx=rot_idx)
     model._finish_setup(composed.params, cloud)
 
     subdir = opt.render_name or "edit"

@@ -47,9 +47,14 @@ def add_point_cloud(child: NeuralPointCloudEdit,
 
 def transform_point_cloud_global(cloud: NeuralPointCloudEdit,
                                  T: np.ndarray) -> NeuralPointCloudEdit:
-    """xyz @ R + t (world frame, reference :60-71). NOTE: the reference
+    """xyz @ R + t (world frame, reference :59-68). NOTE: the reference
     right-multiplies by R (not R^T) — kept for parity with its transform
-    files."""
+    files. Stored point dirs rotate WITH the part (deliberate deviation from
+    reference :67, which leaves them canonical: the aggregator applies Rw2c
+    to sampled_dir (point_aggregators.py:648), so dirs must be in the moved
+    world frame for that rotation to restore the canonical frame — the
+    reference combo double-rotates, unnoticed because its shipped configs
+    set shading_feature_mlp_layer3=0)."""
     R, t = T[:3, :3], T[:3, 3]
     out = cloud.select(np.ones(cloud.n, bool))
     out.xyz = cloud.xyz @ R + t
@@ -59,7 +64,8 @@ def transform_point_cloud_global(cloud: NeuralPointCloudEdit,
 
 def transform_point_cloud_local(cloud: NeuralPointCloudEdit,
                                 T: np.ndarray) -> NeuralPointCloudEdit:
-    """Rotate about the cloud centroid (reference :72-85)."""
+    """Rotate about the cloud centroid (reference :70-81); dirs rotate with
+    the part (see transform_point_cloud_global)."""
     R, t = T[:3, :3], T[:3, 3]
     center = cloud.xyz.mean(0)
     out = cloud.select(np.ones(cloud.n, bool))

@@ -244,6 +244,15 @@ def _dist_weights_ex(cfg: AggregatorConfig, embedding, dists, pnt_mask,
     return _dist_weights(cfg, dists, pnt_mask), embedding
 
 
+def _rot_vec(v, rot):
+    """Apply the reference's Rw2c rotation `v_row @ Rw2c^T`
+    (point_aggregators.py:565 transposes, then right-multiplies at
+    :579/:599/:648). rot is (3,3) uniform or (...,3,3) per-neighbor."""
+    if rot.ndim == 2:
+        return v @ rot.T
+    return jnp.einsum("...i,...ji->...j", v, rot)
+
+
 def _gradient_clamp(x, lo=0.0001, hi=1.0):
     """Pass-through clamp: value clamped, gradient unclamped (reference :863)."""
     return x - jax.lax.stop_gradient(x - jnp.clip(x, lo, hi))
@@ -299,7 +308,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
               sample_loc,              # (B,R,SR,3) perspective
               sample_loc_w,            # (B,R,SR,3) world
               sample_ray_dirs,         # (B,R,SR,3)
-              Rw2c=None,               # (3,3) or None (identity)
+              Rw2c=None,               # (3,3), (B,R,SR,K,3,3), or None
               vsize=None):
     """Dense masked aggregation. Returns (decoded (B,R,SR,4), ray_valid
     (B,R,SR) bool, weight (B,R,SR,K), conf_coefficient (B,R,SR,K))."""
@@ -326,13 +335,24 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         conf_coefficient = _gradient_clamp(sampled_conf[..., 0])
     w = (weight * conf_coefficient)[..., None]  # (B,R,SR,K,1)
 
+    # viewdirs rotate into the canonical frame (per-part Rw2c: by the first
+    # neighbor's rotation, reference :568/:579) before the PE split
+    viewdirs = sample_ray_dirs
+    if Rw2c is not None:
+        viewdirs = _rot_vec(
+            viewdirs, Rw2c if Rw2c.ndim == 2 else Rw2c[..., 0, :, :])
+    ori_viewdirs = viewdirs
+    if cfg.num_viewdir_freqs > 0:
+        vd = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
+        viewdirs = vd[..., 3:]  # reference splits off the raw dirs (:582)
+
     # ---- per-neighbor feature assembly
     d = dists
     if cfg.dist_xyz_deno != 0.0 and vsize is not None:
         d = d / float(cfg.dist_xyz_deno * np.linalg.norm(np.asarray(vsize)))
     if Rw2c is not None:
         # rotate the world-delta part into the canonical frame (reference :599)
-        d = jnp.concatenate([d[..., :3] @ Rw2c.T, d[..., 3:]], axis=-1)
+        d = jnp.concatenate([_rot_vec(d[..., :3], Rw2c), d[..., 3:]], axis=-1)
     if cfg.dist_xyz_freq != 0:
         d = positional_encoding(d, abs(cfg.dist_xyz_freq))
 
@@ -350,6 +370,22 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             feat = jnp.concatenate([feat, sampled_label_embedding], axis=-1)
         feat = _mlp_apply(cfg, params["block2_bpnet"], feat)
 
+    if cfg.shading_feature_mlp_layer3 > 0:
+        # per-neighbor color + dir features (reference :638-653): stored dirs
+        # rotated into the canonical frame, compared against the viewdir
+        parts = [feat]
+        if "1" in cfg.point_color_mode and sampled_color is not None:
+            parts.append(sampled_color)
+        if "1" in cfg.point_dir_mode and sampled_dir is not None:
+            sd = sampled_dir
+            if Rw2c is not None:
+                sd = _rot_vec(sd, Rw2c)
+            ov = ori_viewdirs[..., None, :]                 # (B,R,SR,1,3)
+            parts.append(sd - jnp.broadcast_to(ov, sd.shape))
+            parts.append(jnp.sum(sd * ov, axis=-1, keepdims=True))
+        feat = _mlp_apply(cfg, params["block3"],
+                          jnp.concatenate(parts, axis=-1))
+
     # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
     raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat, act_last=False)
     alpha_nb = raw2out_density(cfg, raw_alpha)          # (B,R,SR,K,1)
@@ -358,13 +394,6 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
 
     feat = feat * mask[..., None]
     feat_agg = jnp.sum(feat * w, axis=-2)               # (B,R,SR,C)
-
-    viewdirs = sample_ray_dirs
-    if Rw2c is not None:
-        viewdirs = viewdirs @ Rw2c.T
-    if cfg.num_viewdir_freqs > 0:
-        vd = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
-        viewdirs = vd[..., 3:]  # reference splits off the raw dirs (:582)
 
     color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)
     raw_color = _mlp_apply(cfg, params["color_branch"], color_in,

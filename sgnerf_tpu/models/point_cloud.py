@@ -5,7 +5,11 @@ Functional re-design of the reference `NeuralPoints` nn.Module
   * per-point tensors: xyz [N,3], embedding [N,32] (`points_embeding`),
     conf [N,1], dir [N,3], color [N,3], feats [N,3] (raw RGB for BPNet),
     label [N], label_prob [N,C], sem_embedding [N,96]
-    (`bpnet_points_embedding`), plus a global Rw2c [3,3];
+    (`bpnet_points_embedding`), plus Rw2c: either a global [3,3] or, for
+    edited scenes with rotated parts, a part table [T,3,3] indexed by the
+    per-point `rot_idx` (the reference stores a dense per-point [N,3,3],
+    neural_points.py:647-651; one int per point + a tiny table gathers
+    9x cheaper on TPU);
   * set_points (:575), grow_points (:546), prune (:520),
     set_bpnet_feats (:653).
 
@@ -41,7 +45,8 @@ class NeuralPointCloud:
     label: jnp.ndarray           # (Nmax,) int32
     label_prob: jnp.ndarray      # (Nmax,C) f32
     sem_embedding: jnp.ndarray   # (Nmax,S) f32
-    Rw2c: jnp.ndarray            # (3,3) f32
+    Rw2c: jnp.ndarray            # (3,3) uniform, or (T,3,3) per-part table
+    rot_idx: jnp.ndarray         # (Nmax,) int32 row into Rw2c when (T,3,3)
     active: jnp.ndarray          # (Nmax,) bool
     n_active: jnp.ndarray        # () int32
 
@@ -59,6 +64,7 @@ def make_point_cloud(xyz: np.ndarray, embedding: np.ndarray,
                      label_prob: Optional[np.ndarray] = None,
                      sem_embedding: Optional[np.ndarray] = None,
                      Rw2c: Optional[np.ndarray] = None,
+                     rot_idx: Optional[np.ndarray] = None,
                      capacity: Optional[int] = None,
                      num_classes: int = 20,
                      sem_dim: int = 96) -> NeuralPointCloud:
@@ -99,6 +105,10 @@ def make_point_cloud(xyz: np.ndarray, embedding: np.ndarray,
         label_prob=jnp.asarray(lp),
         sem_embedding=jnp.asarray(pad(sem_embedding, (sem_dim,))),
         Rw2c=jnp.asarray(Rw2c if Rw2c is not None else np.eye(3, dtype=np.float32)),
+        rot_idx=jnp.asarray(np.concatenate(
+            [np.asarray(rot_idx, np.int32).reshape(-1),
+             np.zeros(cap - n, np.int32)]) if rot_idx is not None
+            else np.zeros(cap, np.int32)),
         active=jnp.asarray(active),
         n_active=jnp.asarray(n, jnp.int32),
     )

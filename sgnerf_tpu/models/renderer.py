@@ -172,6 +172,14 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     sample_ray_dirs = jnp.broadcast_to(
         raydir[:, :, None, :], (B, R, cfg.SR, 3))
 
+    # edited scenes: per-part rotation table (T,3,3) + per-point row index
+    # (the reference gathers a dense per-point (N,3,3) Rw2c,
+    # point_aggregators.py:568; here it's one int per neighbor + a take
+    # from a tiny table)
+    rot = cloud.Rw2c
+    if rot.ndim == 3:
+        rot = rot[cloud.rot_idx[pid]]                 # (B,R,SR,K,3,3)
+
     decoded, ray_valid, weight, conf_coefficient = aggregate(
         params, agg,
         sampled_embedding=sampled_embedding,
@@ -185,7 +193,7 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
         sample_loc=sample_loc,
         sample_loc_w=sample_loc_w,
         sample_ray_dirs=sample_ray_dirs,
-        Rw2c=cloud.Rw2c,
+        Rw2c=rot,
         vsize=cfg.vsize)
 
     ray_dist = ray_dist_from_z(

@@ -137,6 +137,10 @@ _F = [
     ("agg_alpha_xyz_mode", str, "None", None),
     ("agg_color_xyz_mode", str, "None", None),
     ("act_type", str, "ReLU", None), ("act_super", int, 1, None),
+    # TPU-only perf knobs (no reference counterpart): bf16 attribute gather
+    # (+41% render, PERFORMANCE.md) and bf16 shading-MLP matmuls
+    ("gather_dtype", str, "float32", None),
+    ("compute_dtype", str, "float32", None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
@@ -236,6 +240,10 @@ def configs_from_opt(opt):
     from ..models.renderer import RenderConfig
     from ..models.train import TrainConfig
 
+    for f in ("gather_dtype", "compute_dtype"):
+        v = getattr(opt, f)
+        if v not in ("float32", "bfloat16"):
+            raise ValueError(f"--{f} must be float32 or bfloat16, got {v!r}")
     agg = AggregatorConfig(
         point_features_dim=opt.point_features_dim,
         shading_feature_num=opt.shading_feature_num,
@@ -261,6 +269,7 @@ def configs_from_opt(opt):
         point_dir_mode=str(opt.point_dir_mode),
         axis_weight=(tuple(opt.agg_axis_weight)
                      if opt.agg_axis_weight is not None else None),
+        compute_dtype=opt.compute_dtype,
     )
     cfg = RenderConfig(
         agg=agg,
@@ -275,6 +284,7 @@ def configs_from_opt(opt):
         raydist_mode_unit=opt.raydist_mode_unit,
         semantic_guidance=opt.semantic_guidance,
         predict_semantic=opt.predict_semantic,
+        gather_dtype=opt.gather_dtype,
     )
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,

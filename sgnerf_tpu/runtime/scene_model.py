@@ -113,10 +113,19 @@ class SceneModel:
                 st = load_reference_states(states_path)
                 self.best_psnr = float(st.get("best_PSNR", 0.0) or 0.0)
                 self.best_iter = int(st.get("best_iter", 0) or 0)
+            # reference edited checkpoints store a dense per-point (N,3,3)
+            # Rw2c (neural_points.py:650) — factor into a part table + index
+            rw2c, rot_idx = pts["Rw2c"], None
+            if rw2c is not None and np.asarray(rw2c).ndim == 3:
+                rw2c = np.asarray(rw2c, np.float32)
+                _, first, inv = np.unique(
+                    np.round(rw2c.reshape(len(rw2c), -1), 6), axis=0,
+                    return_index=True, return_inverse=True)
+                rw2c, rot_idx = rw2c[first], inv.astype(np.int32)
             cloud = make_point_cloud(
                 xyz=pts["xyz"], embedding=pts["embedding"], conf=pts["conf"],
                 dir=pts["dir"], color=pts["color"], feats=pts["feats"],
-                label=pts["label"], Rw2c=pts["Rw2c"],
+                label=pts["label"], Rw2c=rw2c, rot_idx=rot_idx,
                 capacity=self._capacity_for(len(pts["xyz"])))
             # companion semantic embedding, if previously saved
             sem_path = path.replace("_net_ray_marching.pth",
@@ -135,6 +144,8 @@ class SceneModel:
             tree, meta = load_native(path)
             params = tree["params"]
             c = tree["cloud"]
+            c.setdefault("rot_idx",
+                         np.zeros(len(c["xyz"]), np.int32))  # pre-rot_idx ckpt
             cloud = NeuralPointCloud(
                 **{k: jnp.asarray(v) for k, v in c.items()})
             if meta:
@@ -175,6 +186,8 @@ class SceneModel:
             "feats": np.asarray(st.cloud.feats)[act],
             "Rw2c": np.asarray(st.cloud.Rw2c),
         }
+        if pts["Rw2c"].ndim == 3:  # expand part table to the reference's
+            pts["Rw2c"] = pts["Rw2c"][np.asarray(st.cloud.rot_idx)[act]]
         params = jax.tree.map(np.asarray, st.params)
         export_reference_checkpoint(
             params, pts,

@@ -172,3 +172,107 @@ def test_bf16_compute_close_to_f32():
     # bf16 matmuls: expect close but not bit-equal
     diff = np.abs(np.asarray(out32) - np.asarray(out16))
     assert diff.max() < 0.05, diff.max()
+
+
+def _rand_rots(rng, shape):
+    """Random proper rotations via QR, batched over leading dims."""
+    a = rng.normal(size=shape + (3, 3))
+    q, r = np.linalg.qr(a)
+    d = np.sign(np.diagonal(r, axis1=-2, axis2=-1))
+    q = q * d[..., None, :]
+    det = np.linalg.det(q)
+    q[..., :, 0] *= det[..., None]
+    return q.astype(np.float32)
+
+
+def test_aggregator_block3_per_point_rw2c_matches_reference():
+    """block3 (color/dir features) + per-neighbor Rw2c vs the reference
+    viewmlp (point_aggregators.py:565-599, :638-653)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    probe, opt = _ref_aggregator(torch)
+    opt.shading_feature_mlp_layer3 = 2
+    ref = type(probe)(opt)                  # rebuild with block3 active
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+    assert "block3" in params
+
+    rng = np.random.default_rng(5)
+    data = _inputs(seed=5)
+    B, R, SR, K = data["sample_pnt_mask"].shape
+    rots = _rand_rots(rng, (B, R, SR, K))
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, _, _ = ref(
+            t["sampled_color"], None, torch.from_numpy(rots),
+            t["sampled_dir"], t["sampled_conf"], t["sampled_embedding"],
+            t["sampled_xyz_pers"], t["sampled_xyz"], t["sample_pnt_mask"],
+            t["sample_loc"], t["sample_loc_w"], t["sample_ray_dirs"],
+            vsize, 0.0)
+
+    cfg = AggregatorConfig(shading_feature_mlp_layer3=2)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, _, _ = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.asarray(rots), vsize=vsize)
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_rotation_invariance_with_rw2c():
+    """Rigidly rotating all world-frame inputs while supplying Rw2c = R
+    (the right-multiplied rotation) must reproduce the unrotated output —
+    the invariance per-part Rw2c exists to preserve (run/editing.py)."""
+    import jax
+    from sgnerf_tpu.models.aggregator import init_aggregator_params
+    cfg = AggregatorConfig(shading_feature_mlp_layer3=2)
+    params = init_aggregator_params(jax.random.key(1), cfg)
+    data = _inputs(seed=7)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+
+    def run(d, Rw2c):
+        out, _, w, _ = aggregate(
+            params, cfg,
+            sampled_embedding=d["sampled_embedding"],
+            sampled_color=d["sampled_color"], sampled_dir=d["sampled_dir"],
+            sampled_conf=d["sampled_conf"], sampled_label_embedding=None,
+            sampled_xyz=d["sampled_xyz"],
+            sampled_xyz_pers=d["sampled_xyz_pers"],
+            sample_pnt_mask=d["sample_pnt_mask"], sample_loc=d["sample_loc"],
+            sample_loc_w=d["sample_loc_w"],
+            sample_ray_dirs=d["sample_ray_dirs"], Rw2c=Rw2c)
+        return np.asarray(out), np.asarray(w)
+
+    base_out, base_w = run(j, None)
+
+    R = _rand_rots(np.random.default_rng(9), ())
+    rot = dict(j)
+    # sampled_dir rotates with the part (editor.py rotates stored dirs so
+    # the aggregator's Rw2c application restores the canonical frame)
+    for k in ("sampled_xyz", "sample_loc_w", "sample_ray_dirs",
+              "sampled_dir"):
+        rot[k] = j[k] @ R
+    out_u, w_u = run(rot, jnp.asarray(R))      # uniform (3,3)
+    np.testing.assert_allclose(out_u, base_out, atol=2e-4)
+    np.testing.assert_allclose(w_u, base_w, atol=2e-4)
+
+    B, Rr, SR, K = np.asarray(j["sample_pnt_mask"]).shape
+    per = jnp.broadcast_to(jnp.asarray(R), (B, Rr, SR, K, 3, 3))
+    out_p, w_p = run(rot, per)                 # per-neighbor path
+    np.testing.assert_allclose(out_p, base_out, atol=2e-4)
+    np.testing.assert_allclose(w_p, base_w, atol=2e-4)

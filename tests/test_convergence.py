@@ -106,3 +106,16 @@ def test_training_converges_on_consistent_scene():
     p = psnr(img, gt)
     print(f"convergence PSNR after 600 steps: {p:.2f} dB")
     assert p > 16.0, p
+
+    # bf16 attribute gather on the TRAINED scene must agree with f32 to
+    # well past perceptual tolerance (the +41% render-speed option)
+    cfg16 = dataclasses.replace(cfg, gather_dtype="bfloat16")
+    out16 = render_rays(state.params, state.cloud, grid, cfg16,
+                        campos=jnp.asarray(v[0][None]),
+                        raydir=jnp.asarray(v[2][None]),
+                        camrotc2w=jnp.asarray(v[1][None]),
+                        near=1.0, far=4.5, bg_color=jnp.ones(3))
+    img16 = np.asarray(out16["coarse_raycolor"][0]).reshape(H, W, 3)
+    agree = psnr(img16, img)
+    print(f"bf16-gather vs f32 render agreement: {agree:.2f} dB")
+    assert agree > 40.0, agree

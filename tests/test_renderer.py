@@ -123,3 +123,40 @@ def test_gather_rows_custom_vjp_matches_plain():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gather_rows(table, idx)),
                                np.asarray(table[idx]), atol=0)
+
+
+def test_render_with_part_rotation_table(scene):
+    """Edited-scene path: Rw2c as a (T,3,3) part table + per-point rot_idx.
+    With both rows identity the output must equal the plain render (tests
+    the per-neighbor rotation gather end to end)."""
+    import dataclasses
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam(R=32)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    base = render_rays(params, cloud, grid, cfg, campos=campos,
+                       raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                       bg_color=bg)
+    rng = np.random.default_rng(3)
+    table = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    ridx = rng.integers(0, 2, cloud.capacity).astype(np.int32)
+    cloud2 = dataclasses.replace(
+        cloud, Rw2c=jnp.asarray(table), rot_idx=jnp.asarray(ridx))
+    out = render_rays(params, cloud2, grid, cfg, campos=campos,
+                      raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=bg)
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(base["coarse_raycolor"]),
+                               atol=1e-5)
+    # a non-trivial rotation on some points must change the image
+    th = 0.5
+    rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    table2 = np.stack([np.eye(3, dtype=np.float32), rz])
+    cloud3 = dataclasses.replace(cloud2, Rw2c=jnp.asarray(table2))
+    out2 = render_rays(params, cloud3, grid, cfg, campos=campos,
+                       raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                       bg_color=bg)
+    hit = np.asarray(base["ray_mask"])
+    diff = np.abs(np.asarray(out2["coarse_raycolor"]) -
+                  np.asarray(base["coarse_raycolor"]))[hit]
+    assert diff.max() > 1e-4
