@@ -24,7 +24,34 @@ PROBE_KEYS = ("coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
               "shading_avg_embedding")
 
 
-def render_probe_maps(model, item, chunk_rays: int = 2304) -> Dict[str, np.ndarray]:
+def probe_grid_for_step(model, opt, step):
+    """Tier-based probe-query widening (reference probe_hole,
+    run/train_ft.py:434-438): past each `prob_tiers` threshold the probe
+    uses the next kernel_size triple from `prob_kernel_size`; once tiers
+    are exhausted probing stops (:891). The query kernel is static in
+    GridSpec, so a widened tier builds a temporary probe grid.
+
+    Returns (grid, exhausted)."""
+    if getattr(opt, "prob_kernel_size", None) is None:
+        return model.grid, False
+    tiers = np.asarray(opt.prob_tiers)
+    tier = int(np.sum(tiers < step))
+    if tier >= len(opt.prob_kernel_size) // 3:
+        return None, True
+    ks = [int(k) for k in
+          np.asarray(opt.prob_kernel_size)[tier * 3:tier * 3 + 3]]
+    if tuple(ks) == tuple(model.spec.kernel_size):
+        return model.grid, False
+    from ..models.point_cloud import grid_spec_for_cloud, build_grid
+    kw = dict(model.grid_kwargs)
+    kw["kernel_size"] = ks
+    spec = grid_spec_for_cloud(model.state.cloud, **kw)
+    print(f"probe tier {tier}: query kernel {ks}, building probe grid")
+    return build_grid(model.state.cloud, spec), False
+
+
+def render_probe_maps(model, item, chunk_rays: int = 2304,
+                      grid=None) -> Dict[str, np.ndarray]:
     """Full-frame prob-mode render scattered into H x W maps."""
     raydir = np.asarray(item["raydir"], np.float32)
     pix = np.asarray(item["pixel_idx"]).astype(np.int64)
@@ -35,9 +62,11 @@ def render_probe_maps(model, item, chunk_rays: int = 2304) -> Dict[str, np.ndarr
         else raydir
     maps: Dict[str, np.ndarray] = {}
     st = model.state
+    if grid is None:
+        grid = model.grid
     for s in range(0, len(rd), chunk_rays):
         out = render_rays(
-            st.params, st.cloud, model.grid, model.cfg,
+            st.params, st.cloud, grid, model.cfg,
             campos=jnp.asarray(item["campos"][None]),
             raydir=jnp.asarray(rd[s:s + chunk_rays][None]),
             camrotc2w=jnp.asarray(item["camrotc2w"][None]),
@@ -62,6 +91,11 @@ def probe_and_grow(model, dataset, opt, key, opacity_thresh: float = 0.7):
     """Select probe frames, harvest hole points, grow the cloud."""
     rng = np.random.default_rng(np.asarray(
         jax.random.key_data(key)).ravel()[-1])
+    grid, exhausted = probe_grid_for_step(model, opt,
+                                          int(model.state.step))
+    if exhausted:
+        print("probe_and_grow: prob tiers exhausted, skipping")
+        return 0
     max_num = max(1, len(dataset) // max(opt.prob_num_step, 1))
     frame_ids = rng.permutation(len(dataset))[:max_num]
 
@@ -69,7 +103,7 @@ def probe_and_grow(model, dataset, opt, key, opacity_thresh: float = 0.7):
     H, W = dataset.height, dataset.width
     for i in frame_ids:
         item = dataset.get_item(int(i), full_img=True)
-        maps = render_probe_maps(model, item)
+        maps = render_probe_maps(model, item, grid=grid)
         pix = np.asarray(item["pixel_idx"]).astype(np.int64)
         gt_map = np.zeros((H, W, 3), np.float32)
         gt_map[pix[:, 1], pix[:, 0]] = item["gt_image"]
