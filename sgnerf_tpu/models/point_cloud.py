@@ -119,11 +119,11 @@ def build_grid(cloud: NeuralPointCloud, spec: GridSpec) -> PointGrid:
 
 
 def grid_spec_for_cloud(cloud: NeuralPointCloud, vsize, vscale, kernel_size,
-                        max_o, P, ranges=None) -> GridSpec:
+                        max_o, P, ranges=None, **spec_kwargs) -> GridSpec:
     xyz = np.asarray(cloud.xyz)
     act = np.asarray(cloud.active)
     return compute_grid_spec(xyz[act], vsize, vscale, kernel_size, max_o, P,
-                             ranges=ranges)
+                             ranges=ranges, **spec_kwargs)
 
 
 def prune(cloud: NeuralPointCloud, thresh: float) -> NeuralPointCloud:

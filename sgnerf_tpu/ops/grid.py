@@ -48,6 +48,16 @@ class GridSpec:
     #                                          (0 disables; see build notes)
     dilate_factor: int = 4                   # cache rows = dilate_factor*max_o
     #                                          (covers the dilated voxel set)
+    # two-level sample compaction (0 disables). The ray mask+compact stage
+    # is per-gather-ROW bound on TPU; testing segment midpoints against a
+    # 3^3-dilated coarse (factor^3-pooled) occupancy first cuts rows from
+    # D to D/seg_len + seg_cap*seg_len. CONSERVATIVE iff
+    # (seg_len-1)/2 * sample_step < coarse_factor * vsize (validated vs the
+    # flat path in tests); seg_cap >= SR covers the worst "one hit per
+    # segment" spread.
+    coarse_factor: int = 0                   # supervoxel pooling factor F
+    seg_len: int = 4                         # samples per ray segment L
+    seg_cap: int = 32                        # hit segments kept per ray C
 
     @property
     def min_corner_arr(self) -> jnp.ndarray:
@@ -59,7 +69,9 @@ class GridSpec:
 
 
 def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
-                      ranges=None, nbr_cache: int = 64) -> GridSpec:
+                      ranges=None, nbr_cache: int = 64,
+                      coarse_factor: int = 0, seg_len: int = 4,
+                      seg_cap: int = 32) -> GridSpec:
     """Host-side spec computation; mirrors `get_hyperparameters`
     (query_point_indices_worldcoords.py:66-92): point bbox intersected with
     `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
@@ -86,6 +98,9 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
         P=int(P),
         kernel_size=tuple(int(k) for k in np.asarray(kernel_size)),
         nbr_cache=int(nbr_cache),
+        coarse_factor=int(coarse_factor),
+        seg_len=int(seg_len),
+        seg_cap=int(seg_cap),
     )
 
 
@@ -105,12 +120,14 @@ class PointGrid:
     #                           candidates of each dilated voxel's 3^3
     #                           neighborhood nearest its center (empty if off)
     nbr_pidx: jnp.ndarray     # (max_d, C) int32 ids of those candidates (-1)
+    coarse_occ: jnp.ndarray   # (Xc,Yc,Zc) uint8 3^3-dilated supervoxel
+    #                           occupancy (empty when coarse_factor == 0)
     spec: GridSpec            # static
 
     def tree_flatten(self):
         return ((self.occ_mask, self.vox_slot, self.bucket_pnts,
                  self.bucket_cnt, self.bucket_xyz, self.dil_slot,
-                 self.nbr_xyz, self.nbr_pidx), self.spec)
+                 self.nbr_xyz, self.nbr_pidx, self.coarse_occ), self.spec)
 
     @classmethod
     def tree_unflatten(cls, spec, children):
@@ -205,8 +222,21 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
         dil_slot=jnp.zeros((0, 0, 0), jnp.int32),
         nbr_xyz=jnp.zeros((0, 0, 3), jnp.float32),
         nbr_pidx=jnp.zeros((0, 0), jnp.int32),
+        coarse_occ=jnp.zeros((0, 0, 0), jnp.uint8),
         spec=spec,
     )
+    if spec.coarse_factor > 1:
+        F = spec.coarse_factor
+        Xc, Yc, Zc = ((X + F - 1) // F, (Y + F - 1) // F, (Z + F - 1) // F)
+        pooled = jax.lax.reduce_window(
+            occ_mask, jnp.uint8(0), jax.lax.max,
+            window_dimensions=(F, F, F), window_strides=(F, F, F),
+            padding=((0, Xc * F - X), (0, Yc * F - Y), (0, Zc * F - Z)))
+        coarse = jax.lax.reduce_window(
+            pooled, jnp.uint8(0), jax.lax.max,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding=((1, 1),) * 3)
+        grid = dataclasses.replace(grid, coarse_occ=coarse)
     if spec.nbr_cache > 0:
         dil_slot, nbr_xyz, nbr_pidx = _build_nbr_cache(grid, spec)
         grid = dataclasses.replace(grid, dil_slot=dil_slot, nbr_xyz=nbr_xyz,

@@ -53,20 +53,23 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
     """
     spec = grid.spec
     B, R, D, _ = raypos.shape
-    coords = voxel_coords(raypos, spec)
-    inb = in_bounds(coords, spec)
-    cc = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-    occ = grid.occ_mask[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
-    hit = inb & occ  # (B,R,D)
+    if spec.coarse_factor > 1 and grid.coarse_occ.size > 0:
+        smask, gather_d = _two_level_hits(raypos, grid, SR)
+    else:
+        coords = voxel_coords(raypos, spec)
+        inb = in_bounds(coords, spec)
+        cc = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+        occ = grid.occ_mask[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
+        hit = inb & occ  # (B,R,D)
 
-    # "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
-    # scatter loops serialize badly): score hits by D-d so the SR largest
-    # scores are the SR smallest d, returned in ascending-d order.
-    d_rng = jnp.arange(D, dtype=jnp.int32)
-    score = jnp.where(hit, D - d_rng, -1)                   # (B,R,D)
-    top, top_d = jax.lax.top_k(score, SR)                   # (B,R,SR)
-    smask = top > 0
-    gather_d = jnp.clip(top_d, 0, D - 1)
+        # "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
+        # scatter loops serialize badly): score hits by D-d so the SR largest
+        # scores are the SR smallest d, returned in ascending-d order.
+        d_rng = jnp.arange(D, dtype=jnp.int32)
+        score = jnp.where(hit, D - d_rng, -1)               # (B,R,D)
+        top, top_d = jax.lax.top_k(score, SR)               # (B,R,SR)
+        smask = top > 0
+        gather_d = jnp.clip(top_d, 0, D - 1)
     loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
     loc = jnp.where(smask[..., None], loc, 0.0)
     lbl = None
@@ -74,6 +77,59 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
         # per-ray label broadcast along samples (reference repeats it, :110)
         lbl = jnp.where(smask, ray_label[..., None].astype(jnp.int32), 0)
     return loc, smask, lbl
+
+
+def _two_level_hits(raypos, grid: PointGrid, SR: int):
+    """Two-level sample compaction: the flat path pays one gather ROW per
+    sample (B*R*D rows — the dominant query cost; TPU gather cost is
+    per-row). Instead: (1) test each length-L ray segment's midpoint
+    against the 3^3-dilated coarse occupancy (D/L rows), (2) keep the
+    first seg_cap hit segments per ray (top_k, no gather), (3) fine-test
+    only their seg_cap*L samples. Conservative (never misses a flat-path
+    hit) iff (L-1)/2 * step < coarse_factor*vsize and seg_cap covers the
+    segments holding the first SR hits — validated against the flat path
+    in tests/test_grid_query.py.
+
+    Returns (smask (B,R,SR), gather_d (B,R,SR) sample indices)."""
+    spec = grid.spec
+    B, R, D, _ = raypos.shape
+    L, F = spec.seg_len, spec.coarse_factor
+    G = (D + L - 1) // L
+    C = min(spec.seg_cap, G)
+    cdim = jnp.asarray(grid.coarse_occ.shape, jnp.int32)
+
+    # (1) coarse test at segment midpoints
+    mid = jnp.minimum(jnp.arange(G, dtype=jnp.int32) * L + L // 2, D - 1)
+    mpos = raypos[:, :, mid, :]                              # (B,R,G,3)
+    ccoord = voxel_coords(mpos, spec) // F
+    cin = jnp.all((ccoord >= 0) & (ccoord < cdim), axis=-1)
+    cc = jnp.clip(ccoord, 0, cdim - 1)
+    cocc = grid.coarse_occ[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
+    seg_hit = cin & cocc                                     # (B,R,G)
+
+    # (2) first C hit segments, ascending
+    g_rng = jnp.arange(G, dtype=jnp.int32)
+    top, top_g = jax.lax.top_k(jnp.where(seg_hit, G - g_rng, -1), C)
+    seg_ok = top > 0                                         # (B,R,C)
+    seg_idx = jnp.clip(top_g, 0, G - 1)
+
+    # (3) fine-test the selected segments' samples only
+    fine_d = seg_idx[..., None] * L + jnp.arange(L, dtype=jnp.int32)
+    fine_ok = seg_ok[..., None] & (fine_d < D)               # (B,R,C,L)
+    fine_d = jnp.minimum(fine_d, D - 1).reshape(B, R, C * L)
+    fpos = jnp.take_along_axis(raypos, fine_d[..., None], axis=2)
+    coords = voxel_coords(fpos, spec)
+    inb = in_bounds(coords, spec)
+    ccf = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+    occ = grid.occ_mask[ccf[..., 0], ccf[..., 1], ccf[..., 2]] > 0
+    hit = inb & occ & fine_ok.reshape(B, R, C * L)
+
+    # first SR hits in original sample order
+    score = jnp.where(hit, D - fine_d, -1)                   # (B,R,C*L)
+    top2, top2_i = jax.lax.top_k(score, SR)
+    smask = top2 > 0
+    gather_d = jnp.take_along_axis(fine_d, top2_i, axis=-1)
+    return smask, jnp.clip(gather_d, 0, D - 1)
 
 
 def _neighbor_offsets(kernel_size):

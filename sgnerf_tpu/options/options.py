@@ -141,6 +141,10 @@ _F = [
     # (+41% render, PERFORMANCE.md) and bf16 shading-MLP matmuls
     ("gather_dtype", str, "float32", None),
     ("compute_dtype", str, "float32", None),
+    # two-level sample compaction (0=off): coarse supervoxel pre-test cuts
+    # the dominant per-sample occupancy-gather rows (ops/grid.py GridSpec)
+    ("coarse_factor", int, 0, None), ("seg_len", int, 4, None),
+    ("seg_cap", int, 32, None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
@@ -305,5 +309,7 @@ def configs_from_opt(opt):
         kernel_size=list(opt.kernel_size),
         max_o=opt.max_o or 610000, P=opt.P,
         ranges=(list(opt.ranges) if opt.ranges[0] > -99.0 else None),
+        coarse_factor=opt.coarse_factor, seg_len=opt.seg_len,
+        seg_cap=opt.seg_cap,
     )
     return cfg, tcfg, grid_kwargs

@@ -261,3 +261,58 @@ def test_render_rays_perspective_smoke():
     col = np.asarray(out["coarse_raycolor"])
     assert col.shape == (1, 16, 3) and np.isfinite(col).all()
     assert np.asarray(out["ray_mask"]).any()
+
+
+def _rays(B=1, R=48, D=64, seed=2):
+    rng = np.random.default_rng(seed)
+    campos = np.array([0.0, 0.0, -2.5], np.float32)
+    d = rng.normal(size=(B, R, 3)).astype(np.float32) * 0.3
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.linspace(1.0, 4.5, D, dtype=np.float32)
+    raypos = campos + d[..., None, :] * t[:, None]
+    return jnp.asarray(raypos)
+
+
+def test_two_level_compaction_matches_flat():
+    """Coarse->fine segment compaction must select exactly the flat path's
+    first-SR hits when seg_cap suffices (conservativeness:
+    (L-1)/2 * step < F*vsize; here 0.082 < 0.2)."""
+    import dataclasses
+    xyz = _small_cloud(2000, seed=1)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)  # sphere surface
+    spec = _spec(xyz)
+    grid = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+    raypos = _rays(D=64)
+    SR = 8
+    loc, smask, _ = mask_and_compact_samples(raypos, grid, SR)
+
+    for C in (64 // 4, 32, 12):
+        spec2 = dataclasses.replace(spec, coarse_factor=4, seg_len=4,
+                                    seg_cap=C)
+        grid2 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                                 spec2)
+        assert np.asarray(grid2.coarse_occ).shape == tuple(
+            -(-s // 4) for s in spec.vdim)
+        loc2, smask2, _ = mask_and_compact_samples(raypos, grid2, SR)
+        np.testing.assert_array_equal(np.asarray(smask2), np.asarray(smask)), C
+        np.testing.assert_allclose(np.asarray(loc2), np.asarray(loc)), C
+
+
+def test_two_level_query_neighbors_end_to_end():
+    import dataclasses
+    xyz = _small_cloud(2000, seed=1)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    spec = _spec(xyz)
+    spec2 = dataclasses.replace(spec, coarse_factor=4)
+    raypos = _rays(D=64)
+    g1 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+    g2 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec2)
+    q1 = query_neighbors(g1, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2)
+    q2 = query_neighbors(g2, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2)
+    np.testing.assert_array_equal(np.asarray(q1.sample_pidx),
+                                  np.asarray(q2.sample_pidx))
+    np.testing.assert_array_equal(np.asarray(q1.ray_mask),
+                                  np.asarray(q2.ray_mask))
