@@ -82,6 +82,7 @@ class RenderConfig:
     semantic_guidance: int = 0
     predict_semantic: int = 0
     jitter: float = 0.3              # train-time sample jitter fraction
+    domain_size: float = 1.0         # cube raygen half-extent
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
     #                                  traffic (compute stays f32)
 
@@ -112,7 +113,8 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, _ = raygen(
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
-        jitter=cfg.jitter if is_train else 0.0, key=kj)
+        jitter=cfg.jitter if is_train else 0.0, key=kj,
+        domain_size=cfg.domain_size)
 
     use_sem = bool(cfg.semantic_guidance) and is_train and pixel_label is not None
     q = query_neighbors(

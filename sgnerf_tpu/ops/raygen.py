@@ -141,7 +141,49 @@ def sample_pdf(bins, weights, n_samples, key: Optional[jax.Array] = None, det=Fa
     return jax.lax.stop_gradient(samples[..., None])
 
 
+def cube_ray_generation(campos, raydir, point_count, near=0.1, far=10.0,
+                        jitter=0.0, key: Optional[jax.Array] = None,
+                        domain_size=1.0, **_):
+    """Linear samples on the ray span clipped to the [-domain_size,
+    domain_size]^3 cube. The reference registers `cube` as its feedforward
+    default (diff_ray_marching.py:9-10) but never defines the function (a
+    NameError if selected); the cube semantics survive in
+    refine_cube_ray_generation (:473-506, valid = inside the cube) — this
+    implements the generator to match: ray-AABB entry/exit bounds
+    intersected with [near, far], samples outside the cube marked invalid."""
+    B, R = raydir.shape[0], raydir.shape[1]
+    D = point_count
+    # slab intersection per axis (raydir may have zero components)
+    inv = 1.0 / jnp.where(jnp.abs(raydir) < 1e-9,
+                          jnp.where(raydir < 0, -1e-9, 1e-9), raydir)
+    t0 = (-domain_size - campos[:, None, :]) * inv     # (B,R,3)
+    t1 = (domain_size - campos[:, None, :]) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)         # (B,R)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tn = jnp.maximum(tn, near)
+    tf = jnp.minimum(tf, far)
+    hit = tf > tn
+    tn = jnp.where(hit, tn, near)
+    tf = jnp.where(hit, tf, far)
+
+    t = jnp.linspace(0.0, 1.0, D + 1, dtype=raydir.dtype)
+    tvals = tn[..., None] * (1.0 - t) + tf[..., None] * t    # (B,R,D+1)
+    seg = tvals[..., 1:] - tvals[..., :-1]
+    if jitter > 0 and key is not None:
+        seg = seg * (1.0 + jitter * jax.random.uniform(
+            key, seg.shape, seg.dtype, -1.0, 1.0))
+    end_ts = tn[..., None] + jnp.concatenate(
+        [jnp.zeros((B, R, 1), seg.dtype), jnp.cumsum(seg, axis=-1)], axis=-1)
+    ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * ts[..., None]
+    valid = (jnp.all((raypos > -domain_size) & (raypos < domain_size),
+                     axis=-1) & hit[..., None]).astype(raydir.dtype)
+    seg = seg * jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    return raypos, seg, valid, ts
+
+
 _RAYGEN = {
+    "cube": cube_ray_generation,
     "near_far_linear": near_far_linear_ray_generation,
     "near_far_disparity_linear": near_far_disparity_linear_ray_generation,
     "nerf_near_far_linear": nerf_near_far_linear_ray_generation,

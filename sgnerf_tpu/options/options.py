@@ -289,6 +289,7 @@ def configs_from_opt(opt):
         semantic_guidance=opt.semantic_guidance,
         predict_semantic=opt.predict_semantic,
         gather_dtype=opt.gather_dtype,
+        domain_size=float(opt.domain_size),
     )
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,
