@@ -151,3 +151,22 @@ def test_sample_pdf_matches_reference(torch, ref_march):
                                 torch.from_numpy(weights), n_samples,
                                 det=True).numpy()
     np.testing.assert_allclose(ours, want, atol=1e-4)
+
+
+def test_cube_ray_generation_clips_to_domain():
+    from sgnerf_tpu.ops.raygen import cube_ray_generation
+    campos = jnp.asarray([[0.0, 0.0, -3.0]])
+    # one ray through the cube, one missing it entirely
+    rd = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]])
+    raypos, seg, valid, ts = cube_ray_generation(campos, rd, 32,
+                                                 near=0.1, far=10.0,
+                                                 domain_size=1.0)
+    v = np.asarray(valid)
+    p = np.asarray(raypos)
+    assert v[0, 0].sum() > 0          # hit ray has in-cube samples
+    inside = p[0, 0][v[0, 0] > 0]
+    assert (np.abs(inside) < 1.0).all()
+    # entry/exit span [2, 4] along +z from z=-3
+    t = np.asarray(ts)[0, 0]
+    assert t.min() >= 2.0 - 1e-5 and t.max() <= 4.0 + 1e-5
+    assert v[0, 1].sum() == 0         # miss ray: nothing valid
