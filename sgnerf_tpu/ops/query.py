@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .grid import GridSpec, PointGrid, voxel_coords, in_bounds, linear_vid
+from .grid import (GridSpec, PointGrid, voxel_coords, in_bounds, linear_vid,
+                   take3d as _take3d)
 
 
 class QueryResult(NamedTuple):
@@ -59,7 +60,7 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
         coords = voxel_coords(raypos, spec)
         inb = in_bounds(coords, spec)
         cc = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-        occ = grid.occ_mask[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
+        occ = _take3d(grid.occ_mask, cc, spec.vdim) > 0
         hit = inb & occ  # (B,R,D)
 
         # "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
@@ -104,7 +105,7 @@ def _two_level_hits(raypos, grid: PointGrid, SR: int):
     ccoord = voxel_coords(mpos, spec) // F
     cin = jnp.all((ccoord >= 0) & (ccoord < cdim), axis=-1)
     cc = jnp.clip(ccoord, 0, cdim - 1)
-    cocc = grid.coarse_occ[cc[..., 0], cc[..., 1], cc[..., 2]] > 0
+    cocc = _take3d(grid.coarse_occ, cc, grid.coarse_occ.shape) > 0
     seg_hit = cin & cocc                                     # (B,R,G)
 
     # (2) first C hit segments, ascending
@@ -121,7 +122,7 @@ def _two_level_hits(raypos, grid: PointGrid, SR: int):
     coords = voxel_coords(fpos, spec)
     inb = in_bounds(coords, spec)
     ccf = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-    occ = grid.occ_mask[ccf[..., 0], ccf[..., 1], ccf[..., 2]] > 0
+    occ = _take3d(grid.occ_mask, ccf, spec.vdim) > 0
     hit = inb & occ & fine_ok.reshape(B, R, C * L)
 
     # first SR hits in original sample order
@@ -170,12 +171,16 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         c = voxel_coords(sample_loc_w, spec)                  # (B,R,SR,3)
         cin = in_bounds(c, spec)
         cc = jnp.clip(c, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-        slot = grid.dil_slot[cc[..., 0], cc[..., 1], cc[..., 2]]
+        slot = _take3d(grid.dil_slot, cc, spec.vdim)
         slot_ok = cin & (slot >= 0) & smask
         max_d = grid.nbr_xyz.shape[0]
         slot_c = jnp.clip(slot, 0, max_d - 1)
         cand = grid.nbr_pidx[slot_c]                           # (B,R,SR,C)
-        cxyz = grid.nbr_xyz[slot_c]                            # (B,R,SR,C,3)
+        # cache rows hold OFFSETS from the voxel center (grid.py build);
+        # reconstruct world coords with one FMA — free next to the gather
+        center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \
+            + spec.min_corner_arr
+        cxyz = center[..., None, :] + grid.nbr_xyz[slot_c].astype(jnp.float32)
         cand_ok = slot_ok[..., None] & (cand >= 0)
         d2 = jnp.sum((cxyz - sample_loc_w[..., None, :]) ** 2, axis=-1)
         Kv = 1
@@ -188,7 +193,7 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         nbr = c[..., None, :] + offsets                            # (B,R,SR,Kv,3)
         nbr_ok = in_bounds(nbr, spec)
         nc = jnp.clip(nbr, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-        slot = grid.vox_slot[nc[..., 0], nc[..., 1], nc[..., 2]]   # (B,R,SR,Kv)
+        slot = _take3d(grid.vox_slot, nc, spec.vdim)               # (B,R,SR,Kv)
         slot_ok = nbr_ok & (slot >= 0)
         slot_c = jnp.clip(slot, 0, spec.max_o - 1)
 

@@ -317,6 +317,9 @@ class SceneModel:
                 far=jnp.asarray(item["far"]),
                 bg_color=jnp.asarray(item["bg_color"]),
                 key=key, is_train=False)
-            cols.append(np.asarray(out["coarse_raycolor"][0]))
-        col = np.concatenate(cols)[:R]
+            # keep results on-device: dispatches pipeline, so the fixed
+            # per-dispatch latency (~tens of ms on a remote tunnel)
+            # overlaps the next chunk's compute
+            cols.append(out["coarse_raycolor"][0])
+        col = np.concatenate([np.asarray(c) for c in cols])[:R]
         return col

@@ -316,3 +316,36 @@ def test_two_level_query_neighbors_end_to_end():
                                   np.asarray(q2.sample_pidx))
     np.testing.assert_array_equal(np.asarray(q1.ray_mask),
                                   np.asarray(q2.ray_mask))
+
+
+def test_bf16_cache_dtype_neighbor_agreement():
+    """cache_dtype=bfloat16 stores offsets (<0.1 mm quantization at these
+    voxel sizes) — neighbor sets must agree with the f32 cache."""
+    import dataclasses
+    xyz = _small_cloud(2000, seed=1)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    spec = _spec(xyz)
+    spec16 = dataclasses.replace(spec, cache_dtype="bfloat16")
+    raypos = _rays(D=64)
+    g1 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+    g2 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec16)
+    assert g2.nbr_xyz.dtype == jnp.bfloat16
+    q1 = query_neighbors(g1, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2)
+    q2 = query_neighbors(g2, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2)
+    a, b = np.asarray(q1.sample_pidx), np.asarray(q2.sample_pidx)
+    loc = np.asarray(q1.sample_loc_w)
+    valid = a >= 0
+    agree = (a[valid] == b[valid]).mean()
+    assert agree > 0.98, agree
+    # the flips must be benign: the bf16-chosen neighbor sits within the
+    # quantization distance of the f32-chosen one
+    flip = valid & (a != b) & (b >= 0)
+    if flip.any():
+        pa = xyz[a[flip]]
+        pb = xyz[b[flip]]
+        centers = np.broadcast_to(loc[..., None, :], a.shape + (3,))[flip]
+        da = np.linalg.norm(pa - centers, axis=-1)
+        db = np.linalg.norm(pb - centers, axis=-1)
+        assert np.abs(da - db).max() < 2e-3, np.abs(da - db).max()
