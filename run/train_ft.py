@@ -170,10 +170,16 @@ def main():
             pl = semantic.pixel_labels_for(item)
             if pl is not None:
                 item["pixel_label"] = pl
+        if opt.profile_dir and total_steps == opt.profile_start:
+            jax.profiler.start_trace(opt.profile_dir)
         batch = make_batch(item)
         key, k = jax.random.split(key)
         losses = model.optimize(batch, k)
         total_steps = int(model.state.step)
+        if opt.profile_dir and \
+                total_steps == opt.profile_start + opt.profile_steps:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opt.profile_dir}")
 
         visualizer.accumulate_losses(
             {k2: float(v) for k2, v in losses.items()})

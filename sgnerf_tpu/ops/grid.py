@@ -75,7 +75,8 @@ class GridSpec:
 def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
                       ranges=None, nbr_cache: int = 64,
                       coarse_factor: int = 0, seg_len: int = 4,
-                      seg_cap: int = 32) -> GridSpec:
+                      seg_cap: int = 32,
+                      cache_dtype: str = "float32") -> GridSpec:
     """Host-side spec computation; mirrors `get_hyperparameters`
     (query_point_indices_worldcoords.py:66-92): point bbox intersected with
     `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
@@ -105,6 +106,7 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
         coarse_factor=int(coarse_factor),
         seg_len=int(seg_len),
         seg_cap=int(seg_cap),
+        cache_dtype=str(cache_dtype),
     )
 
 

@@ -145,6 +145,11 @@ _F = [
     # the dominant per-sample occupancy-gather rows (ops/grid.py GridSpec)
     ("coarse_factor", int, 0, None), ("seg_len", int, 4, None),
     ("seg_cap", int, 32, None),
+    # JAX profiler trace (xprof): capture steps [profile_start,
+    # profile_start+profile_steps) of training into profile_dir
+    ("profile_dir", str, "", None), ("profile_start", int, 10, None),
+    ("profile_steps", int, 10, None),
+    ("cache_dtype", str, "float32", None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
@@ -311,6 +316,6 @@ def configs_from_opt(opt):
         max_o=opt.max_o or 610000, P=opt.P,
         ranges=(list(opt.ranges) if opt.ranges[0] > -99.0 else None),
         coarse_factor=opt.coarse_factor, seg_len=opt.seg_len,
-        seg_cap=opt.seg_cap,
+        seg_cap=opt.seg_cap, cache_dtype=opt.cache_dtype,
     )
     return cfg, tcfg, grid_kwargs

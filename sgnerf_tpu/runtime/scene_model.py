@@ -192,6 +192,14 @@ class SceneModel:
         export_reference_checkpoint(
             params, pts,
             os.path.join(self.expr_dir, f"{it}_net_ray_marching.pth"))
+        # companion BPNet 96-d point embedding, reference
+        # saveSemanticEmbedding (neural_points_volumetric_model.py:674-681)
+        sem = np.asarray(st.cloud.sem_embedding)[act]
+        if np.abs(sem).max() > 0:
+            import torch
+            torch.save(torch.from_numpy(sem[None].copy()),
+                       os.path.join(self.expr_dir,
+                                    f"{it}_semanticEmbedding.pth"))
 
     # ---------------------------------------------------------------- creation
 

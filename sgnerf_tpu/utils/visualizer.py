@@ -27,6 +27,18 @@ class Visualizer:
         self.acc_iterations = 0
         self.acc_losses: Dict[str, float] = defaultdict(float)
         self.start_time = time.time()
+        self.tb = None
+        if getattr(opt, "show_tensorboard", 0):
+            # reference: tensorboardX SummaryWriter (visualizer.py:48-52);
+            # torch's writer is the baked-in equivalent. Degrade silently to
+            # file logging if the tensorboard package is absent.
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(
+                    log_dir=os.path.join(opt.checkpoints_dir,
+                                         opt.name or "default", "tb"))
+            except Exception:
+                self.tb = None
 
     # ------------------------------------------------------------------ losses
 
@@ -44,6 +56,10 @@ class Visualizer:
         print(msg, flush=True)
         with open(self.log_path, "a") as f:
             f.write(msg + "\n")
+        if self.tb is not None:
+            for k, v in self.acc_losses.items():
+                self.tb.add_scalar(f"loss/{k}", v / self.acc_iterations,
+                                   total_steps)
 
     def reset(self):
         self.acc_iterations = 0
