@@ -46,9 +46,11 @@ def main():
     cloud = make_point_cloud(xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
                              dir=xyz / np.linalg.norm(xyz, axis=-1,
                                                       keepdims=True))
+    # cache_dtype bf16: +3.3% (175.0 vs 180.9 ms/chunk), color drift 1.3e-4
     spec = grid_spec_for_cloud(
         cloud, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
-        max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3)
+        max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3,
+        cache_dtype="bfloat16")
     grid = build_grid(cloud, spec)
     jax.block_until_ready(grid.bucket_pnts)
 

@@ -115,8 +115,7 @@ def main():
         key, k = jax.random.split(key)
         params, opt_states, losses = step_fn(params, opt_states, batch, k,
                                              jnp.asarray(step))
-        visualizer.accumulate_losses(
-            {k2: float(v) for k2, v in losses.items()})
+        visualizer.accumulate_losses(losses)  # lazy: no per-step sync
         if (step + 1) % opt.print_freq == 0:
             visualizer.print_losses(step + 1)
             visualizer.reset()

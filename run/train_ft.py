@@ -175,14 +175,16 @@ def main():
         batch = make_batch(item)
         key, k = jax.random.split(key)
         losses = model.optimize(batch, k)
-        total_steps = int(model.state.step)
+        # host-side step mirror: int(model.state.step) would block on the
+        # async dispatch every iteration, serializing the fixed dispatch
+        # latency into the step time
+        total_steps += 1
         if opt.profile_dir and \
                 total_steps == opt.profile_start + opt.profile_steps:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {opt.profile_dir}")
 
-        visualizer.accumulate_losses(
-            {k2: float(v) for k2, v in losses.items()})
+        visualizer.accumulate_losses(losses)
         if total_steps % opt.print_freq == 0:
             visualizer.print_losses(total_steps)
             visualizer.reset()

@@ -43,22 +43,27 @@ class Visualizer:
     # ------------------------------------------------------------------ losses
 
     def accumulate_losses(self, losses: Dict[str, float]):
+        """Accepts host floats OR device scalars. Device scalars are NOT
+        synced here — forcing them would serialize the fixed per-dispatch
+        latency into every train step; they accumulate lazily and convert
+        at print time (print_freq steps of slack keeps the device busy)."""
         self.acc_iterations += 1
         for k, v in losses.items():
-            self.acc_losses[k] += float(v)
+            self.acc_losses[k] += v
 
     def print_losses(self, total_steps: int):
         if self.acc_iterations == 0:
             return
         msg = f"step: {total_steps}, "
-        msg += ", ".join(f"{k}: {v / self.acc_iterations:.6f}"
+        msg += ", ".join(f"{k}: {float(v) / self.acc_iterations:.6f}"
                          for k, v in sorted(self.acc_losses.items()))
         print(msg, flush=True)
         with open(self.log_path, "a") as f:
             f.write(msg + "\n")
         if self.tb is not None:
             for k, v in self.acc_losses.items():
-                self.tb.add_scalar(f"loss/{k}", v / self.acc_iterations,
+                self.tb.add_scalar(f"loss/{k}",
+                                   float(v) / self.acc_iterations,
                                    total_steps)
 
     def reset(self):
