@@ -234,4 +234,29 @@ def refine_ray_generation(campos, raydir, point_count, prev_ts, prev_weights,
     return raypos, seg, jnp.ones_like(ts), ts
 
 
+def refine_cube_ray_generation(campos, raydir, point_count, prev_ts,
+                               prev_weights, domain_size=1.0,
+                               key: Optional[jax.Array] = None, jitter=0,
+                               **_):
+    """Importance resampling with cube-domain validity (reference
+    refine_cube_ray_generation, diff_ray_marching.py:473-506)."""
+    raypos, seg, _, ts = refine_ray_generation(
+        campos, raydir, point_count, prev_ts, prev_weights, key=key,
+        jitter=jitter)
+    valid = jnp.all((raypos > -domain_size) & (raypos < domain_size),
+                    axis=-1).astype(raypos.dtype)
+    return raypos, seg, valid, ts
+
+
+def find_refined_ray_generation_method(name: str):
+    """Reference find_refined_ray_generation_method
+    (diff_ray_marching.py:24-32): 'cube' -> cube-validity refine;
+    'nerf*' and everything else -> plain importance refine (the
+    reference's nerf_refine body is the same sample_pdf midpoint
+    scheme, :434-470, and its final branch is a catch-all default)."""
+    if name == "cube":
+        return refine_cube_ray_generation
+    return refine_ray_generation
+
+
 _RAYGEN["near_middle_far"] = near_middle_far_ray_generation

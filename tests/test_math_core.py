@@ -170,3 +170,28 @@ def test_cube_ray_generation_clips_to_domain():
     t = np.asarray(ts)[0, 0]
     assert t.min() >= 2.0 - 1e-5 and t.max() <= 4.0 + 1e-5
     assert v[0, 1].sum() == 0         # miss ray: nothing valid
+
+
+def test_refined_raygen_registry():
+    from sgnerf_tpu.ops.raygen import (find_refined_ray_generation_method,
+                                       refine_cube_ray_generation,
+                                       refine_ray_generation,
+                                       near_far_linear_ray_generation)
+    assert find_refined_ray_generation_method("cube") \
+        is refine_cube_ray_generation
+    assert find_refined_ray_generation_method("nerf_near_far_linear") \
+        is refine_ray_generation
+    assert find_refined_ray_generation_method("near_far_linear") \
+        is refine_ray_generation
+
+    campos = jnp.asarray([[0.0, 0.0, -3.0]])
+    rd = jnp.asarray([[[0.0, 0.0, 1.0]]])
+    raypos, seg, valid, ts = near_far_linear_ray_generation(
+        campos, rd, 16, near=2.0, far=4.0)
+    w = jnp.ones(ts.shape + (1,))
+    rp2, seg2, v2, ts2 = refine_cube_ray_generation(campos, rd, 8, ts, w)
+    assert rp2.shape == (1, 1, 8, 3)
+    p = np.asarray(rp2)[0, 0]
+    v = np.asarray(v2)[0, 0]
+    inside = np.all(np.abs(p) < 1.0, axis=-1)
+    np.testing.assert_array_equal(v > 0, inside)
