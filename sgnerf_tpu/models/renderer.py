@@ -83,6 +83,7 @@ class RenderConfig:
     predict_semantic: int = 0
     jitter: float = 0.3              # train-time sample jitter fraction
     domain_size: float = 1.0         # cube raygen half-extent
+    knn_mode: str = "exact"          # "approx" = lax.approx_max_k KNN
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
     #                                  traffic (compute stays f32)
 
@@ -123,7 +124,7 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         ray_label=pixel_label if use_sem else None,
         points_label=cloud.label if use_sem else None,
         points_label_prob=cloud.label_prob if use_sem else None,
-        key=ks, semantic_guidance=use_sem)
+        key=ks, semantic_guidance=use_sem, knn_mode=cfg.knn_mode)
 
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,

@@ -142,7 +142,8 @@ def _neighbor_offsets(kernel_size):
     return jnp.asarray(grid.reshape(-1, 3), dtype=jnp.int32)  # (Kv,3)
 
 
-@partial(jax.jit, static_argnames=("K", "SR", "semantic_guidance"))
+@partial(jax.jit, static_argnames=("K", "SR", "semantic_guidance",
+                                   "knn_mode"))
 def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     raypos: jnp.ndarray, K: int, SR: int,
                     radius_limit: float | jnp.ndarray,
@@ -150,7 +151,8 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     points_label: Optional[jnp.ndarray] = None,
                     points_label_prob: Optional[jnp.ndarray] = None,
                     key: Optional[jax.Array] = None,
-                    semantic_guidance: bool = False) -> QueryResult:
+                    semantic_guidance: bool = False,
+                    knn_mode: str = "exact") -> QueryResult:
     """Full query pipeline: sample masking -> SR compaction -> KNN.
 
     points_xyz: (N,3) the full (padded) point store; raypos: (B,R,D,3).
@@ -241,7 +243,13 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
     d2m = jnp.where(ok, d2, big).reshape(cand_flat_shape)
     cand_flat = cand.reshape(cand_flat_shape)
 
-    neg_top, top_idx = jax.lax.top_k(-d2m, K)                  # (B,R,SR,K)
+    if knn_mode == "approx":
+        # TPU-hardware approximate top-k (exact on CPU); candidate pools
+        # are tight supersets of the true K-NN, so recall loss is benign
+        neg_top, top_idx = jax.lax.approx_max_k(-d2m, K,
+                                                recall_target=0.95)
+    else:
+        neg_top, top_idx = jax.lax.top_k(-d2m, K)              # (B,R,SR,K)
     top_ok = -neg_top < big
     sample_pidx = jnp.where(
         top_ok, jnp.take_along_axis(cand_flat, top_idx, axis=-1), -1)
