@@ -111,3 +111,45 @@ def test_resample_scene(tmp_path):
     assert kept == 4
     assert sorted(os.listdir(dst / "exported" / "color")) == \
         ["0.jpg", "1.jpg", "2.jpg", "3.jpg"]
+
+
+def test_per_point_rw2c_pth_roundtrip(tmp_path):
+    """Export expands the (T,3,3) rotation table to the reference's dense
+    per-point Rw2c; import factors it back into table + rot_idx
+    (scene_model.py load/export, reference neural_points.py:647-651)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from sgnerf_tpu.models.checkpoint_io import (
+        export_reference_checkpoint, load_torch_state_dict,
+        convert_reference_checkpoint)
+    rng = np.random.default_rng(0)
+    n = 40
+    th = 0.7
+    rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    table = np.stack([np.eye(3, dtype=np.float32), rz])
+    rot_idx = (np.arange(n) % 2).astype(np.int32)
+    pts = {
+        "xyz": rng.normal(size=(n, 3)).astype(np.float32),
+        "embedding": rng.normal(size=(n, 32)).astype(np.float32),
+        "conf": np.ones((n, 1), np.float32),
+        "dir": rng.normal(size=(n, 3)).astype(np.float32),
+        "color": rng.uniform(size=(n, 3)).astype(np.float32),
+        "feats": np.zeros((n, 3), np.float32),
+        "Rw2c": table[rot_idx],            # dense per-point, as export does
+    }
+    params = {"block1": [{"w": np.eye(3, dtype=np.float32),
+                          "b": np.zeros(3, np.float32)}]}
+    p = str(tmp_path / "5_net_ray_marching.pth")
+    export_reference_checkpoint(params, pts, p)
+
+    sd = load_torch_state_dict(p)
+    _, pts2 = convert_reference_checkpoint(sd)
+    rw = np.asarray(pts2["Rw2c"])
+    assert rw.shape == (n, 3, 3)
+    # the factorization the SceneModel loader applies
+    _, first, inv = np.unique(np.round(rw.reshape(n, -1), 6), axis=0,
+                              return_index=True, return_inverse=True)
+    tab2, idx2 = rw[first], inv.astype(np.int32)
+    assert len(tab2) == 2
+    np.testing.assert_allclose(tab2[idx2], table[rot_idx], atol=1e-6)
