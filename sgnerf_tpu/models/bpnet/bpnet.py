@@ -43,6 +43,11 @@ class BPNetConfig:
     voxel_size: float = 0.05
     img_wh: Tuple[int, int] = (640, 480)
     layers_2d: int = 34
+    compute_dtype: str = "float32"   # "bfloat16" runs both UNets' convs on
+    #                                  the MXU in bf16 (BN is frozen /
+    #                                  inference-mode per the reference's
+    #                                  fix_bn, so stats stay valid); logits
+    #                                  and the 96-d point feature return f32
 
 
 # ------------------------------------------------------------------- host ops
@@ -149,6 +154,14 @@ def bpnet_forward(params, cfg: BPNetConfig, grid_p1: SparseGrid,
     Returns (softmax3d (M,classes), logits2d (V,h,w,classes),
     feat3d (M,96))."""
     V, h, w, _ = imgs.shape
+    if cfg.compute_dtype == "bfloat16":
+        cast = (lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating) else x)
+        params = jax.tree.map(cast, params)
+        imgs = imgs.astype(jnp.bfloat16)
+        grid_p1 = dataclasses.replace(
+            grid_p1, feats=grid_p1.feats.astype(jnp.bfloat16))
     p2d = params["unet2d"]
     x, x2, x3, x4, x5 = unet2d.encoder_apply(p2d, imgs)
 
@@ -205,11 +218,11 @@ def bpnet_forward(params, cfg: BPNetConfig, grid_p1: SparseGrid,
     feat3d = unet3d.up_stage(p3d, "convtr7", g, out_p1)
 
     g = unet3d.blocks_on_cat(p3d, "block8", feat3d, out_p1.feats)
-    res3d_feat = g.feats                                # (M, 96)
-    logits3d = unet3d.cls_head(p3d, g)
+    res3d_feat = g.feats.astype(jnp.float32)            # (M, 96)
+    logits3d = unet3d.cls_head(p3d, g).astype(jnp.float32)
     softmax3d = jax.nn.softmax(logits3d, axis=-1) * g.mask[:, None]
 
-    logits2d = unet2d.cls_apply(p2d, fused2d, (h, w))   # (V,h,w,classes)
+    logits2d = unet2d.cls_apply(p2d, fused2d, (h, w)).astype(jnp.float32)
     return softmax3d, logits2d, res3d_feat
 
 

@@ -44,8 +44,8 @@ def conv2d(x, w, stride=1, padding=None):
     if padding is None:
         padding = [(w.shape[0] // 2,) * 2, (w.shape[1] // 2,) * 2]
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x.astype(w.dtype), w, window_strides=(stride, stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv3d(x, w, stride=1, padding=None):
@@ -53,7 +53,7 @@ def conv3d(x, w, stride=1, padding=None):
     if padding is None:
         padding = [(w.shape[i] // 2,) * 2 for i in range(3)]
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,) * 3, padding=padding,
+        x.astype(w.dtype), w, window_strides=(stride,) * 3, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
@@ -66,7 +66,7 @@ def conv_transpose3d_s2(x, w):
     # the full (VALID) transpose output; lax explicit (lo,hi) counts from the
     # zero-overlap base, so (lo,hi) = (k-1-crop_lo, k-1-crop_hi) = (1,2)
     return jax.lax.conv_transpose(
-        x, w, strides=(2, 2, 2), padding=((1, 2),) * 3,
+        x.astype(w.dtype), w, strides=(2, 2, 2), padding=((1, 2),) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         transpose_kernel=True)
 

@@ -104,7 +104,8 @@ def sparse_conv(grid: SparseGrid, weight: jnp.ndarray,
     row, ok = _gather_rows(grid, nbr)
     f = grid.feats[jnp.clip(row, 0)] * ok[..., None]   # (M,K3,Ci)
     out = jnp.einsum("mkc,kcd->md", f, weight,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32
+                     ).astype(weight.dtype)  # f32 accumulate, weight dtype out
     if bias is not None:
         out = out + bias
     return out * grid.mask[:, None]
@@ -144,7 +145,7 @@ def sparse_conv_down(grid: SparseGrid, weight: jnp.ndarray,
     row, ok = _gather_rows(grid, child)
     f = grid.feats[jnp.clip(row, 0)] * ok[..., None]
     out = jnp.einsum("mkc,kcd->md", f, weight,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).astype(weight.dtype)
     if bias is not None:
         out = out + bias
     out = out * omask[:, None]
@@ -165,7 +166,7 @@ def sparse_conv_up(coarse: SparseGrid, fine_coords: jnp.ndarray,
     f = coarse.feats[jnp.clip(row, 0)] * ok[..., None]  # (Mf,Ci)
     w = weight[tap]                                     # (Mf,Ci,Co)
     out = jnp.einsum("mc,mcd->md", f, w,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).astype(weight.dtype)
     if bias is not None:
         out = out + bias
     return out * fine_mask[:, None]

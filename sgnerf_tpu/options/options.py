@@ -150,6 +150,7 @@ _F = [
     ("profile_dir", str, "", None), ("profile_start", int, 10, None),
     ("profile_steps", int, 10, None),
     ("cache_dtype", str, "float32", None),
+    ("bpnet_dtype", str, "float32", None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),

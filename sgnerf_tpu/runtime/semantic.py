@@ -30,7 +30,8 @@ class SemanticDriver:
     def __init__(self, opt, params=None, key=None):
         self.cfg = BPNetConfig(
             classes=opt.classes, view_num=3,
-            img_wh=tuple(opt.img_wh), layers_2d=opt.layers_2d)
+            img_wh=tuple(opt.img_wh), layers_2d=opt.layers_2d,
+            compute_dtype=getattr(opt, "bpnet_dtype", "float32"))
         self.bpnet = BPNet(self.cfg, params=params, key=key)
         self.refresh_every = max(1, getattr(opt, "bpnet_refresh_every", 1))
         self._step = 0

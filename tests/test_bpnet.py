@@ -112,3 +112,35 @@ def test_bpnet_full_forward_smoke():
     act = np.asarray(grid.mask)
     np.testing.assert_allclose(s[act], 1.0, atol=1e-5)
     assert np.isfinite(np.asarray(f3)).all()
+
+
+@pytest.mark.slow
+def test_bpnet_bf16_agrees_with_f32():
+    """compute_dtype=bfloat16 must keep 3D label argmax agreement high
+    (BN is inference-mode, so bf16 only perturbs conv accumulations)."""
+    import dataclasses
+    cfg = BPNetConfig(view_num=2, img_wh=(64, 48))
+    params = init_bpnet_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(7)
+    coords = np.unique(rng.integers(0, 32, size=(200, 3)), axis=0)
+    grid = make_sparse_grid(jnp.asarray(coords, jnp.int32),
+                            jnp.asarray(rng.normal(size=(len(coords), 3))
+                                        .astype(np.float32)),
+                            (32, 32, 32))
+    imgs = jnp.asarray(rng.normal(size=(2, 48, 64, 3)).astype(np.float32))
+    links = np.zeros((len(coords), 4, 2), np.int32)
+    links[:, 1, :] = rng.integers(0, 48, size=(len(coords), 2))
+    links[:, 2, :] = rng.integers(0, 64, size=(len(coords), 2))
+    links[:, 3, :] = 1
+    m = len(coords)
+    sm32, _, f32feat = bpnet_forward(params, cfg, grid, imgs,
+                                     jnp.asarray(links), [m, m, m, m])
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    sm16, _, f16feat = bpnet_forward(params, cfg16, grid, imgs,
+                                     jnp.asarray(links), [m, m, m, m])
+    assert sm16.dtype == jnp.float32 and f16feat.dtype == jnp.float32
+    act = np.asarray(grid.mask)
+    lab32 = np.asarray(sm32).argmax(-1)[act]
+    lab16 = np.asarray(sm16).argmax(-1)[act]
+    assert (lab32 == lab16).mean() > 0.95, (lab32 == lab16).mean()
+    assert np.isfinite(np.asarray(f16feat)).all()
