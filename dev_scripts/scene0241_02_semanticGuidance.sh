@@ -17,6 +17,7 @@ python run/train_ft.py \
   --checkpoints_dir "${nrCheckpoint}/scannet/" \
   --resume_iter best \
   --semantic_guidance 1 --predict_semantic 1 \
+  --bpnet_dtype bfloat16 \
   --load_points 1 --feat_grad 1 --conf_grad 1 --dir_grad 0 --color_grad 1 \
   --vox_res 900 \
   --prune_thresh -1 --prune_iter -1 \
