@@ -87,3 +87,51 @@ def test_prune_and_grow_shapes(setup):
              jnp.ones((50, 1)), jnp.zeros((50, 3)), jnp.zeros((50, 3)))
     assert int(g.n_active) == n0 + 50
     assert g.capacity == cloud.capacity
+
+
+def test_train_step_with_bf16_gather_learns():
+    """Training THROUGH the bf16 attribute gather: losses stay finite and
+    decrease (the cast's VJP passes f32 cotangents straight through)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                              init_aggregator_params)
+    from sgnerf_tpu.models.point_cloud import (
+        make_point_cloud, build_grid, grid_spec_for_cloud)
+    from sgnerf_tpu.models.renderer import RenderConfig
+    from sgnerf_tpu.models.train import (TrainConfig, create_train_state,
+                                         train_step)
+    rng = np.random.default_rng(0)
+    n = 1500
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    cloud = make_point_cloud(xyz, rng.normal(size=(n, 32)).astype(np.float32),
+                             color=np.clip(xyz * 0.5 + 0.5, 0, 1), dir=xyz)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.05] * 3, vscale=[2, 2, 2],
+                               kernel_size=[3, 3, 3], max_o=20000, P=16)
+    grid = build_grid(cloud, spec)
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=48, SR=8, K=4,
+                       vsize=(0.05,) * 3, gather_dtype="bfloat16")
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    tcfg = TrainConfig(lr=2e-3, plr=5e-3, lr_decay_iters=10 ** 9)
+    state = create_train_state(params, cloud, tcfg)
+    key = jax.random.key(1)
+    R = 256
+    losses_hist = []
+    for step in range(30):
+        d = (rng.normal(size=(1, R, 3)) * 0.3).astype(np.float32)
+        d[..., 2] = 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        batch = {"campos": jnp.asarray([[0.0, 0.0, -2.5]]),
+                 "raydir": jnp.asarray(d),
+                 "camrotc2w": jnp.eye(3)[None],
+                 "near": jnp.asarray(1.0), "far": jnp.asarray(4.5),
+                 "bg_color": jnp.ones(3),
+                 "gt_image": jnp.full((1, R, 3), 0.5, jnp.float32)}
+        key, k = jax.random.split(key)
+        state, losses = train_step(state, grid, cfg, tcfg, batch, k)
+        losses_hist.append(float(losses["total"]))
+    assert np.isfinite(losses_hist).all()
+    assert np.mean(losses_hist[-5:]) < np.mean(losses_hist[:5])
