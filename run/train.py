@@ -96,6 +96,21 @@ def main():
         "agg": init_aggregator_params(jax.random.key(1), cfg.agg),
         "mvs": init_mvs_params(jax.random.key(0), mvs_cfg),
     }
+    start_step = 0
+    out_dir = os.path.join(opt.checkpoints_dir, opt.name or "default")
+    if opt.resume_iter not in ("", "0", None):
+        import glob
+        import pickle
+        cands = sorted(glob.glob(os.path.join(out_dir, "*_feedforward.pkl")),
+                       key=lambda p: int(os.path.basename(p).split("_")[0]))
+        want = (cands[-1:] if opt.resume_iter in ("latest", "best") else
+                [os.path.join(out_dir, f"{opt.resume_iter}_feedforward.pkl")])
+        if want and os.path.exists(want[0]):
+            with open(want[0], "rb") as f:
+                params = jax.tree.map(jnp.asarray, pickle.load(f))
+            start_step = int(os.path.basename(want[0]).split("_")[0])
+            print(f"resumed feedforward params from {want[0]} "
+                  f"(step {start_step})")
     tx_agg = optax.adam(opt.lr)
     tx_mvs = optax.adam(opt.mvs_lr if getattr(opt, "mvs_lr", 0) else opt.lr)
     opt_states = {"agg": tx_agg.init(params["agg"]),
@@ -109,7 +124,7 @@ def main():
     rng = np.random.default_rng(0)
     maximum_step = opt.maximum_step or 10000
     t0 = time.time()
-    for step in range(maximum_step):
+    for step in range(start_step, maximum_step):
         batch = make_ff_batch(dataset, int(rng.integers(len(dataset))),
                               opt, rng)
         key, k = jax.random.split(key)
