@@ -151,6 +151,8 @@ _F = [
     ("profile_steps", int, 10, None),
     ("cache_dtype", str, "float32", None),
     ("bpnet_dtype", str, "float32", None),
+    # DTU (MVSNet-preprocessed) loader
+    ("dtu_cam_scale", float, 4.0, None), ("dtu_light_idx", int, 3, None),
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
