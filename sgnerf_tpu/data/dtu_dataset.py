@@ -246,6 +246,42 @@ class DtuDataset:
                 np.float32)
         return item
 
+    def load_init_depth_points(self, vox_res: int = 100) -> np.ndarray:
+        """Unproject every view's PFM depth to a world point cloud (the
+        load_points==2 bootstrap; voxel downsample via vox_res like the
+        ScanNet loader)."""
+        pts = []
+        for v in self.id_list:
+            dp = self._depth_path(v)
+            if dp is None:
+                continue
+            d = read_pfm(dp)
+            h, w = d.shape
+            k = self._raw_intr[v].copy()
+            k[:2] *= self.cam_scale
+            k[0] *= w / self.native_wh[0]
+            k[1] *= h / self.native_wh[1]
+            gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                                 np.arange(w, dtype=np.float32),
+                                 indexing="ij")
+            ok = d > 0
+            z = d[ok]
+            x = (gx[ok] + 0.5 - k[0, 2]) / k[0, 0] * z
+            y = (gy[ok] + 0.5 - k[1, 2]) / k[1, 1] * z
+            cam = np.stack([x, y, z], -1)
+            c2w = self.c2w[v]
+            pts.append(cam @ c2w[:3, :3].T + c2w[:3, 3])
+        if not pts:
+            return np.zeros((0, 3), np.float32)
+        xyz = np.concatenate(pts).astype(np.float32)
+        if vox_res > 0 and len(xyz):
+            span = xyz.max(0) - xyz.min(0) + 1e-6
+            cell = (xyz - xyz.min(0)) / span * vox_res
+            _, keep = np.unique(cell.astype(np.int64), axis=0,
+                                return_index=True)
+            xyz = xyz[np.sort(keep)]
+        return xyz
+
     def get_campos_ray(self):
         campos = np.stack([self.c2w[v][:3, 3] for v in self.id_list])
         camdir = np.stack([self.c2w[v][:3, 2] for v in self.id_list])

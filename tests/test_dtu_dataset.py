@@ -95,3 +95,14 @@ def test_dtu_factory_resolution(dtu_tree):
     from sgnerf_tpu.data import find_dataset_class_by_name
     cls = find_dataset_class_by_name("dtu")
     assert cls.__name__ == "DtuDataset"
+
+
+def test_dtu_depth_unprojection(dtu_tree):
+    from sgnerf_tpu.data.dtu_dataset import DtuDataset
+    ds = DtuDataset(_opt(dtu_tree))
+    xyz = ds.load_init_depth_points(vox_res=50)
+    assert len(xyz) > 50
+    # all depths are 4.0 from cameras at r=4 looking at the origin ->
+    # points land in a bounded shell around/behind the origin
+    assert np.isfinite(xyz).all()
+    assert np.linalg.norm(xyz, axis=-1).max() < 12.0
