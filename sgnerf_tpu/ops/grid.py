@@ -122,12 +122,16 @@ class PointGrid:
     #                           instead of 48M scalar rows of the point store)
     dil_slot: jnp.ndarray     # (X,Y,Z) int32 DILATED-voxel slot or -1 (every
     #                           voxel a shading point can land in has one)
-    nbr_xyz: jnp.ndarray      # (max_d, C, 3) merged-neighborhood cache: the C
-    #                           candidates of each dilated voxel's 3^3
-    #                           neighborhood nearest its center, stored as
-    #                           OFFSETS from that voxel's center in
-    #                           spec.cache_dtype (empty if off)
-    nbr_pidx: jnp.ndarray     # (max_d, C) int32 ids of those candidates (-1)
+    nbr_packed: jnp.ndarray   # (max_d, C*W) int16 merged-neighborhood cache:
+    #                           per dilated voxel, the C candidates of its 3^3
+    #                           neighborhood nearest its center. Each candidate
+    #                           is W int16s: its xyz OFFSET from the voxel
+    #                           center in spec.cache_dtype (3 or 6 halves) then
+    #                           its int32 point id (2 halves). ONE table so the
+    #                           query pays ONE gather row per shading point —
+    #                           TPU gather cost is per ROW (~130 ns), so two
+    #                           half-size gathers cost twice as much as one
+    #                           packed gather (probe_xla_gather.py).
     coarse_occ: jnp.ndarray   # (Xc,Yc,Zc) uint8 3^3-dilated supervoxel
     #                           occupancy (empty when coarse_factor == 0)
     spec: GridSpec            # static
@@ -135,11 +139,63 @@ class PointGrid:
     def tree_flatten(self):
         return ((self.occ_mask, self.vox_slot, self.bucket_pnts,
                  self.bucket_cnt, self.bucket_xyz, self.dil_slot,
-                 self.nbr_xyz, self.nbr_pidx, self.coarse_occ), self.spec)
+                 self.nbr_packed, self.coarse_occ), self.spec)
 
     @classmethod
     def tree_unflatten(cls, spec, children):
         return cls(*children, spec=spec)
+
+    @property
+    def nbr_xyz(self) -> jnp.ndarray:
+        """(max_d, C, 3) cache offsets (unpacked view, for tests/tools)."""
+        xyz, _ = unpack_cache(self.nbr_packed, self.spec)
+        return xyz
+
+    @property
+    def nbr_pidx(self) -> jnp.ndarray:
+        """(max_d, C) int32 cache candidate ids (unpacked view)."""
+        _, pidx = unpack_cache(self.nbr_packed, self.spec)
+        return pidx
+
+
+def _cache_width(cache_dtype: str) -> int:
+    """int16 halves per cache candidate: xyz (3 bf16 or 3 f32) + int32 pidx."""
+    return 5 if cache_dtype == "bfloat16" else 8
+
+
+def pack_cache(xyz: jnp.ndarray, pidx: jnp.ndarray,
+               cache_dtype: str) -> jnp.ndarray:
+    """(S,C,3) offsets + (S,C) int32 ids -> (S, C*W) int16 packed rows."""
+    if cache_dtype == "bfloat16":
+        xi = jax.lax.bitcast_convert_type(
+            xyz.astype(jnp.bfloat16), jnp.int16)          # (S,C,3)
+    else:
+        xi = jax.lax.bitcast_convert_type(
+            xyz.astype(jnp.float32), jnp.int16)            # (S,C,3,2)
+        xi = xi.reshape(*xi.shape[:-2], 6)
+    pi = jax.lax.bitcast_convert_type(pidx.astype(jnp.int32), jnp.int16)
+    row = jnp.concatenate([xi, pi], axis=-1)               # (S,C,W)
+    return row.reshape(*row.shape[:-2], -1)
+
+
+def unpack_cache(packed: jnp.ndarray, spec: GridSpec):
+    """(..., C*W) int16 -> ((..., C, 3) offsets in cache dtype, (..., C) int32
+    ids). Inverse of pack_cache."""
+    W = _cache_width(spec.cache_dtype)
+    if packed.size == 0:
+        dt = jnp.bfloat16 if spec.cache_dtype == "bfloat16" else jnp.float32
+        lead = packed.shape[:-1]
+        return (jnp.zeros(lead + (0, 3), dt),
+                jnp.zeros(lead + (0,), jnp.int32))
+    p = packed.reshape(*packed.shape[:-1], -1, W)
+    if spec.cache_dtype == "bfloat16":
+        xyz = jax.lax.bitcast_convert_type(p[..., :3], jnp.bfloat16)
+        pidx = jax.lax.bitcast_convert_type(p[..., 3:5], jnp.int32)
+    else:
+        xyz = jax.lax.bitcast_convert_type(
+            p[..., :6].reshape(*p.shape[:-1], 3, 2), jnp.float32)
+        pidx = jax.lax.bitcast_convert_type(p[..., 6:8], jnp.int32)
+    return xyz, pidx
 
 
 def voxel_coords(xyz: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
@@ -237,8 +293,7 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
         bucket_cnt=bucket_cnt,
         bucket_xyz=bucket_xyz,
         dil_slot=jnp.zeros((0, 0, 0), jnp.int32),
-        nbr_xyz=jnp.zeros((0, 0, 3), jnp.float32),
-        nbr_pidx=jnp.zeros((0, 0), jnp.int32),
+        nbr_packed=jnp.zeros((0, 0), jnp.int16),
         coarse_occ=jnp.zeros((0, 0, 0), jnp.uint8),
         spec=spec,
     )
@@ -255,9 +310,9 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             padding=((1, 1),) * 3)
         grid = dataclasses.replace(grid, coarse_occ=coarse)
     if spec.nbr_cache > 0:
-        dil_slot, nbr_xyz, nbr_pidx = _build_nbr_cache(grid, spec)
-        grid = dataclasses.replace(grid, dil_slot=dil_slot, nbr_xyz=nbr_xyz,
-                                   nbr_pidx=nbr_pidx)
+        dil_slot, nbr_packed = _build_nbr_cache(grid, spec)
+        grid = dataclasses.replace(grid, dil_slot=dil_slot,
+                                   nbr_packed=nbr_packed)
     return grid
 
 
@@ -332,4 +387,5 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec):
     xs, ps = jax.lax.map(one_chunk, sc_pad.reshape(n_chunks, chunk, 3))
     nbr_xyz = xs.reshape(-1, C, 3)[:max_d]
     nbr_pidx = ps.reshape(-1, C)[:max_d].astype(jnp.int32)
-    return dil_slot.reshape(X, Y, Z), nbr_xyz, nbr_pidx
+    return (dil_slot.reshape(X, Y, Z),
+            pack_cache(nbr_xyz, nbr_pidx, spec.cache_dtype))

@@ -167,22 +167,26 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
     sample_loc_w, smask, sample_label = mask_and_compact_samples(
         raypos, grid, SR, ray_label if semantic_guidance else None)
 
-    if spec.nbr_cache > 0 and grid.nbr_xyz.shape[0] > 0:
+    if spec.nbr_cache > 0 and grid.nbr_packed.shape[0] > 0:
         # fast path: ONE gather per shading point from the merged
-        # neighborhood cache (C candidates vs Kv*P; 27x fewer gather rows)
+        # neighborhood cache (C candidates vs Kv*P; 27x fewer gather rows).
+        # Coordinates AND point ids live in one packed int16 row — TPU gather
+        # cost is per row, so one 640B gather beats two 320B ones 2x
+        # (probe_xla_gather.py).
         c = voxel_coords(sample_loc_w, spec)                  # (B,R,SR,3)
         cin = in_bounds(c, spec)
         cc = jnp.clip(c, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
         slot = _take3d(grid.dil_slot, cc, spec.vdim)
         slot_ok = cin & (slot >= 0) & smask
-        max_d = grid.nbr_xyz.shape[0]
+        max_d = grid.nbr_packed.shape[0]
         slot_c = jnp.clip(slot, 0, max_d - 1)
-        cand = grid.nbr_pidx[slot_c]                           # (B,R,SR,C)
+        from .grid import unpack_cache
+        off, cand = unpack_cache(grid.nbr_packed[slot_c], spec)
         # cache rows hold OFFSETS from the voxel center (grid.py build);
         # reconstruct world coords with one FMA — free next to the gather
         center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \
             + spec.min_corner_arr
-        cxyz = center[..., None, :] + grid.nbr_xyz[slot_c].astype(jnp.float32)
+        cxyz = center[..., None, :] + off.astype(jnp.float32)
         cand_ok = slot_ok[..., None] & (cand >= 0)
         d2 = jnp.sum((cxyz - sample_loc_w[..., None, :]) ** 2, axis=-1)
         Kv = 1
