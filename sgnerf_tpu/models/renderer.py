@@ -151,7 +151,11 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     # NOTE: gather_rows (sort+segment_sum backward) measured SLOWER than the
     # default scatter-add transpose at 1024-ray batches (137.5 vs 128 ms
     # train step) — plain gather kept; revisit at larger batches (NEXT.md)
-    g = packed[pid].astype(jnp.float32)               # (B,R,SR,K,C)
+    # The barrier pins ONE materialization of the gathered block: without
+    # it XLA duplicates the (1.8M-row) gather into each downstream slice's
+    # fusion (measured: stage-4 marginal 58 ms vs 15 ms for the same math
+    # on pre-materialized inputs, probe_shading.py)
+    g = jax.lax.optimization_barrier(packed[pid]).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]

@@ -46,8 +46,8 @@ class GridSpec:
     kernel_size: Tuple[int, int, int]        # occupancy dilation (and query) extent
     nbr_cache: int = 64                      # merged-neighborhood cache size C
     #                                          (0 disables; see build notes)
-    dilate_factor: int = 4                   # cache rows = dilate_factor*max_o
-    #                                          (covers the dilated voxel set)
+    # NOTE: cache capacity (max_d) is sized from the actual dilated-voxel
+    # count at build time (build_point_grid), not from a spec field.
     # two-level sample compaction (0 disables). The ray mask+compact stage
     # is per-gather-ROW bound on TPU; testing segment midpoints against a
     # 3^3-dilated coarse (factor^3-pooled) occupancy first cuts rows from
@@ -165,36 +165,44 @@ def _cache_width(cache_dtype: str) -> int:
 
 def pack_cache(xyz: jnp.ndarray, pidx: jnp.ndarray,
                cache_dtype: str) -> jnp.ndarray:
-    """(S,C,3) offsets + (S,C) int32 ids -> (S, C*W) int16 packed rows."""
+    """(S,C,3) offsets + (S,C) int32 ids -> (S, C*W) int16 packed rows.
+
+    PLANE layout — [all xyz halves | all pidx halves] — so unpack is two
+    contiguous slices + reshapes (an interleaved per-candidate layout would
+    need stride-W int16 slicing, a relayout on TPU)."""
     if cache_dtype == "bfloat16":
         xi = jax.lax.bitcast_convert_type(
-            xyz.astype(jnp.bfloat16), jnp.int16)          # (S,C,3)
+            xyz.astype(jnp.bfloat16), jnp.int16)           # (S,C,3)
     else:
         xi = jax.lax.bitcast_convert_type(
             xyz.astype(jnp.float32), jnp.int16)            # (S,C,3,2)
-        xi = xi.reshape(*xi.shape[:-2], 6)
+    xi = xi.reshape(*xyz.shape[:-2], -1)                   # (S,C*3 or C*6)
     pi = jax.lax.bitcast_convert_type(pidx.astype(jnp.int32), jnp.int16)
-    row = jnp.concatenate([xi, pi], axis=-1)               # (S,C,W)
-    return row.reshape(*row.shape[:-2], -1)
+    pi = pi.reshape(*pidx.shape[:-1], -1)                  # (S,C*2)
+    return jnp.concatenate([xi, pi], axis=-1)              # (S,C*W)
 
 
 def unpack_cache(packed: jnp.ndarray, spec: GridSpec):
     """(..., C*W) int16 -> ((..., C, 3) offsets in cache dtype, (..., C) int32
     ids). Inverse of pack_cache."""
     W = _cache_width(spec.cache_dtype)
+    bf16 = spec.cache_dtype == "bfloat16"
+    dt = jnp.bfloat16 if bf16 else jnp.float32
     if packed.size == 0:
-        dt = jnp.bfloat16 if spec.cache_dtype == "bfloat16" else jnp.float32
         lead = packed.shape[:-1]
         return (jnp.zeros(lead + (0, 3), dt),
                 jnp.zeros(lead + (0,), jnp.int32))
-    p = packed.reshape(*packed.shape[:-1], -1, W)
-    if spec.cache_dtype == "bfloat16":
-        xyz = jax.lax.bitcast_convert_type(p[..., :3], jnp.bfloat16)
-        pidx = jax.lax.bitcast_convert_type(p[..., 3:5], jnp.int32)
+    C = packed.shape[-1] // W
+    lead = packed.shape[:-1]
+    split = C * (3 if bf16 else 6)
+    if bf16:
+        xyz = jax.lax.bitcast_convert_type(
+            packed[..., :split].reshape(lead + (C, 3)), jnp.bfloat16)
     else:
         xyz = jax.lax.bitcast_convert_type(
-            p[..., :6].reshape(*p.shape[:-1], 3, 2), jnp.float32)
-        pidx = jax.lax.bitcast_convert_type(p[..., 6:8], jnp.int32)
+            packed[..., :split].reshape(lead + (C, 3, 2)), jnp.float32)
+    pidx = jax.lax.bitcast_convert_type(
+        packed[..., split:].reshape(lead + (C, 2)), jnp.int32)
     return xyz, pidx
 
 
@@ -223,11 +231,40 @@ def take3d(table: jnp.ndarray, coords: jnp.ndarray, dims) -> jnp.ndarray:
     return table.reshape(-1)[lin]
 
 
-@partial(jax.jit, static_argnames=("spec",))
 def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
                      spec: GridSpec) -> PointGrid:
     """Build the grid from (N,3) world points; point_mask (N,) bool marks live
-    points (capacity padding)."""
+    points (capacity padding).
+
+    Two-phase: the occupancy/bucket core is one jitted program; the
+    neighborhood cache is then built with `max_d` sized from the ACTUAL
+    dilated-voxel count (one cheap host sync, bucketed to bound recompiles).
+    A fixed `dilate_factor * max_o` ceiling silently dropped cache rows on
+    scenes whose dilated set exceeded it (measured: a 1M-point room had 5.2M
+    dilated voxels vs a 2.44M ceiling — half the shading-point voxels
+    returned no neighbors)."""
+    grid = _build_grid_core(xyz, point_mask, spec)
+    if spec.nbr_cache > 0:
+        nvox = spec.vdim[0] * spec.vdim[1] * spec.vdim[2]
+        if isinstance(grid.occ_mask, jax.core.Tracer):
+            # building under an outer jit (e.g. MVS-in-the-loop feedforward
+            # training regenerates points per step): no host sync possible,
+            # fall back to a static ceiling
+            max_d = min(spec.max_o * 8, nvox)
+        else:
+            n_dil = int(jnp.sum((grid.occ_mask > 0).astype(jnp.int32)))
+            bucket = 262144
+            max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)
+            max_d = max(max_d, min(bucket, nvox))
+        dil_slot, nbr_packed = _build_nbr_cache_jit(grid, spec, max_d)
+        grid = dataclasses.replace(grid, dil_slot=dil_slot,
+                                   nbr_packed=nbr_packed)
+    return grid
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _build_grid_core(xyz: jnp.ndarray, point_mask: jnp.ndarray,
+                     spec: GridSpec) -> PointGrid:
     N = xyz.shape[0]
     X, Y, Z = spec.vdim
     nvox = X * Y * Z
@@ -309,14 +346,15 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
             padding=((1, 1),) * 3)
         grid = dataclasses.replace(grid, coarse_occ=coarse)
-    if spec.nbr_cache > 0:
-        dil_slot, nbr_packed = _build_nbr_cache(grid, spec)
-        grid = dataclasses.replace(grid, dil_slot=dil_slot,
-                                   nbr_packed=nbr_packed)
     return grid
 
 
-def _build_nbr_cache(grid: PointGrid, spec: GridSpec):
+@partial(jax.jit, static_argnames=("spec", "max_d"))
+def _build_nbr_cache_jit(grid: PointGrid, spec: GridSpec, max_d: int):
+    return _build_nbr_cache(grid, spec, max_d)
+
+
+def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
     """Merged-neighborhood cache over the DILATED voxel set: every voxel a
     shading point can land in (occ_mask=1) gets a slot holding the C
     candidates of its 3^3 neighborhood nearest its center — a tight superset
@@ -324,13 +362,11 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec):
     exact 27-voxel search in tests). One-time cost per grid rebuild; chunked
     to bound the (chunk, 27, P, 3) transient."""
     C = spec.nbr_cache
-    max_d = spec.max_o * spec.dilate_factor
     X, Y, Z = spec.vdim
     nvox = X * Y * Z
 
-    # enumerate dilated voxels (ascending linear id; overflow beyond max_d
-    # falls back to the exact path via dil_slot=-1... dropped rows simply
-    # have no cache entry, and the query treats them as empty)
+    # enumerate dilated voxels (ascending linear id); max_d is sized from
+    # the actual dilated count by the caller, so nothing is dropped
     occ_flat = grid.occ_mask.reshape(-1) > 0
     (dil_lin,) = jnp.nonzero(occ_flat, size=max_d, fill_value=nvox)
     dil_valid = dil_lin < nvox

@@ -181,7 +181,10 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         max_d = grid.nbr_packed.shape[0]
         slot_c = jnp.clip(slot, 0, max_d - 1)
         from .grid import unpack_cache
-        off, cand = unpack_cache(grid.nbr_packed[slot_c], spec)
+        # barrier: one materialization of the 640B-row gather (XLA otherwise
+        # duplicates it into the offset and pidx consumers' fusions)
+        rows = jax.lax.optimization_barrier(grid.nbr_packed[slot_c])
+        off, cand = unpack_cache(rows, spec)
         # cache rows hold OFFSETS from the voxel center (grid.py build);
         # reconstruct world coords with one FMA — free next to the gather
         center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \

@@ -38,6 +38,23 @@ from ..options.options import configs_from_opt
 from ..ops.scatter import construct_vox_points_closest
 
 
+def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
+                        rot, near, far, bg):
+    """Render (G,1,Rc,3) ray-dir chunks in ONE dispatch via lax.map."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg):
+        def one(rd):
+            out = render_rays(params, cloud, grid, cfg, campos=campos,
+                              raydir=rd, camrotc2w=rot, near=near, far=far,
+                              bg_color=bg, is_train=False)
+            return out["coarse_raycolor"][0]
+        return jax.lax.map(one, raydirs)
+
+    return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg)
+
+
 def get_latest_epoch(ckpt_dir: str) -> Optional[int]:
     iters = []
     for f in glob.glob(os.path.join(ckpt_dir, "*_net_ray_marching.*")):
@@ -304,30 +321,36 @@ class SceneModel:
     # --------------------------------------------------------------- rendering
 
     def render_image(self, item: Dict, chunk_rays: int = 9216,
-                     key=None) -> np.ndarray:
+                     key=None, chunks_per_dispatch: int = 4) -> np.ndarray:
         """Chunked full-frame render; returns (H', W', 3) over the filtered
-        pixel window (test_ft.py:167-204 chunk loop, static chunk shapes)."""
+        pixel window (test_ft.py:167-204 chunk loop, static chunk shapes).
+
+        `chunks_per_dispatch` chunks render inside ONE jitted dispatch
+        (lax.map): ~27 ms of each dispatch is host-side enqueue through the
+        remote tunnel that pipelining does NOT hide (PERFORMANCE.md), so
+        batching dispatches amortizes it G-fold."""
         raydir = np.asarray(item["raydir"], np.float32)
         R = len(raydir)
-        pad = (-R) % chunk_rays
+        G = max(1, int(chunks_per_dispatch))
+        group = chunk_rays * G
+        pad = (-R) % group
         raydir_p = np.concatenate(
             [raydir, np.zeros((pad, 3), np.float32)]) if pad else raydir
         cols = []
         st = self.state
-        for s in range(0, len(raydir_p), chunk_rays):
-            rd = jnp.asarray(raydir_p[s:s + chunk_rays][None])
-            out = render_rays(
-                st.params, st.cloud, self.grid, self.cfg,
-                campos=jnp.asarray(item["campos"][None]),
-                raydir=rd,
-                camrotc2w=jnp.asarray(item["camrotc2w"][None]),
-                near=jnp.asarray(item["near"]),
-                far=jnp.asarray(item["far"]),
-                bg_color=jnp.asarray(item["bg_color"]),
-                key=key, is_train=False)
-            # keep results on-device: dispatches pipeline, so the fixed
-            # per-dispatch latency (~tens of ms on a remote tunnel)
-            # overlaps the next chunk's compute
-            cols.append(out["coarse_raycolor"][0])
-        col = np.concatenate([np.asarray(c) for c in cols])[:R]
+        campos = jnp.asarray(item["campos"][None])
+        rot = jnp.asarray(item["camrotc2w"][None])
+        near = jnp.asarray(item["near"])
+        far = jnp.asarray(item["far"])
+        bg = jnp.asarray(item["bg_color"])
+        for s in range(0, len(raydir_p), group):
+            rds = jnp.asarray(
+                raydir_p[s:s + group].reshape(G, 1, chunk_rays, 3))
+            cols.append(_render_chunk_group(
+                st.params, st.cloud, self.grid, self.cfg, campos, rds,
+                rot, near, far, bg))
+            # results stay on-device: dispatches pipeline, so device compute
+            # of group i overlaps the enqueue of group i+1
+        col = np.concatenate([np.asarray(c).reshape(-1, 3)
+                              for c in cols])[:R]
         return col
