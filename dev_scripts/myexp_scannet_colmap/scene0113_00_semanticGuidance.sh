@@ -1,23 +1,23 @@
 #!/bin/bash
-# Canonical ScanNet SG-NeRF fine-tuning config, mirroring the reference's
-# dev_scripts/myexp_scannet_colmap/scene0241_02_semanticGuidance.sh flag for
-# flag. NOTE: no outer restart loop — point growing is in-process here.
+# scene0113_00 'strict SGS sparse-view' config, mirroring the reference's
+# dev_scripts/myexp_scannet_colmap/scene0113_00_semanticGuidance.sh — which
+# (sic) sets semantic_guidance=0 and drops BPNet prediction, keeping the
+# block3 color path (shading_feature_mlp_layer3=2).
 
 nrCheckpoint="../checkpoints"
 nrDataRoot="../data_src"
-name='scene024102_Semantic_sample50%_step200'
+name='58-scene0113-strictSGS_sparseview'
 
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/../.."
 
 python run/train_ft.py \
   --name "$name" \
   --data_root "${nrDataRoot}/scannet/scans/" \
-  --scan "scene0241_02" \
+  --scan "scene0113_00" \
   --dataset_name scannet_ft \
   --checkpoints_dir "${nrCheckpoint}/scannet/" \
   --resume_iter best \
-  --semantic_guidance 1 --predict_semantic 1 \
-  --bpnet_dtype bfloat16 \
+  --semantic_guidance 0 \
   --load_points 1 --feat_grad 1 --conf_grad 1 --dir_grad 0 --color_grad 1 \
   --vox_res 900 \
   --prune_thresh -1 --prune_iter -1 \
@@ -41,8 +41,8 @@ python run/train_ft.py \
   --point_features_dim 32 --shpnt_jitter passfunc \
   --which_agg_model viewmlp --apply_pnt_mask 1 \
   --shading_feature_mlp_layer0 1 --shading_feature_mlp_layer1 2 \
-  --shading_feature_mlp_layer2 0 --shading_feature_mlp_layer2_bpnet 1 \
-  --shading_feature_mlp_layer3 0 \
+  --shading_feature_mlp_layer2 0 \
+  --shading_feature_mlp_layer3 2 \
   --shading_alpha_mlp_layer 1 --shading_color_mlp_layer 4 \
   --shading_feature_num 256 --dist_xyz_freq 5 --num_feat_freqs 3 \
   --dist_xyz_deno 0 \

@@ -5,7 +5,7 @@ nrCheckpoint="../checkpoints"
 nrDataRoot="../data_src"
 name='scene024102_Semantic_sample50%_step200'
 
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/../.."
 python run/test_ft.py \
   --name "$name" \
   --data_root "${nrDataRoot}/scannet/scans/" \

@@ -173,6 +173,10 @@ _F = [
     ("appr_feature_str2", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
     ("appr_feature_str3", str, ("imgfeat_0_0123", "dir_0", "point_conf"), "+"),
     ("inverse", int, 0, None), ("ref_vid", int, 0, None),
+    # dtu_test_inf flags (reference dev_scripts/dtu_test_inf/*.sh): uniform
+    # depth-hypothesis spacing in MVSNet inference; source-view combination
+    # policy for the DTU per-scene bootstrap
+    ("uni_depth", int, 0, None), ("full_comb", int, 0, None),
     # dataset flags
     ("scan", str, "scan1", None), ("init_view_num", int, 3, None),
     ("edge_filter", int, 3, None), ("shape_id", int, 0, None),

@@ -1,0 +1,43 @@
+"""Every dev_script must be shell-valid and use only flags our options
+parser knows — the scripts ARE the reference-compatible user surface
+(SURVEY §5 Config), so an unknown flag means a silent config drop."""
+import glob
+import os
+import re
+import subprocess
+
+import pytest
+
+from sgnerf_tpu.options.options import TrainOptions
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = sorted(glob.glob(os.path.join(REPO, "dev_scripts", "**", "*.sh"),
+                           recursive=True))
+
+# flags consumed by run/*.py directly rather than the options parser
+EXTRA_OK = set()
+
+
+def _known_flags():
+    parser = TrainOptions().parser
+    return {s for s in parser._option_string_actions if s.startswith("--")}
+
+
+@pytest.mark.parametrize("script", SCRIPTS,
+                         ids=[os.path.relpath(s, os.path.join(
+                             REPO, "dev_scripts")) for s in SCRIPTS])
+def test_dev_script_flags_are_known(script):
+    assert subprocess.run(["bash", "-n", script]).returncode == 0
+    text = open(script).read()
+    known = _known_flags() | EXTRA_OK
+    used = set(re.findall(r"(?<!\w)--([A-Za-z_][A-Za-z0-9_]*)", text))
+    unknown = {f for f in used if f"--{f}" not in known}
+    assert not unknown, (f"{os.path.basename(script)} uses flags the parser "
+                         f"does not define: {sorted(unknown)}")
+
+
+def test_scripts_reference_existing_entry_points():
+    for script in SCRIPTS:
+        for m in re.finditer(r"python3? (run/\w+\.py)", open(script).read()):
+            assert os.path.exists(os.path.join(REPO, m.group(1))), \
+                f"{script}: missing entry point {m.group(1)}"

@@ -106,3 +106,15 @@ def test_dtu_depth_unprojection(dtu_tree):
     # points land in a bounded shell around/behind the origin
     assert np.isfinite(xyz).all()
     assert np.linalg.norm(xyz, axis=-1).max() < 12.0
+
+
+def test_dtu_ft_factory_resolution(dtu_tree):
+    # the dtu_test_inf dev_scripts select dataset_name='dtu_ft' (a module
+    # the reference never shipped); it must resolve to the per-scene loader
+    from sgnerf_tpu.data import find_dataset_class_by_name
+    from sgnerf_tpu.data.dtu_dataset import DtuDataset
+    cls = find_dataset_class_by_name("dtu_ft")
+    assert cls.__name__ == "DtuFtDataset" and issubclass(cls, DtuDataset)
+    ds = cls(_opt(dtu_tree))
+    item = ds.get_item(0)
+    assert item["raydir"].shape[-1] == 3
