@@ -131,10 +131,17 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
                             camrotc2w, bg_color, prob)
 
 
-def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
-                     campos, raydir, camrotc2w, bg_color, prob):
-    """Everything downstream of the neighbor query: gather -> aggregate ->
-    march -> outputs (shared by the world- and perspective-space paths)."""
+def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
+                         campos, raydir, camrotc2w):
+    """Neighbor-attribute gather + per-neighbor MLP aggregation (everything
+    between the query and the volume march). Shared by the single-device
+    paths below and by the spatially-sharded renderer (parallel/spatial.py),
+    where each chip runs it on its LOCAL point shard and the decoded
+    features are psummed before marching.
+
+    Returns (decoded (B,R,SR,4), ray_valid (B,R,SR), weight (B,R,SR,K),
+    conf_coefficient, sample_loc (perspective coords), sampled dict for the
+    prob-mode growing probes)."""
     B, R, _ = raydir.shape
     agg = cfg.agg
     sample_pnt_mask = sample_pidx >= 0
@@ -202,6 +209,25 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
         sample_ray_dirs=sample_ray_dirs,
         Rw2c=rot,
         vsize=cfg.vsize)
+
+    sampled = {"xyz": sampled_xyz, "embedding": sampled_embedding,
+               "color": sampled_color, "dir": sampled_dir,
+               "conf": sampled_conf}
+    return (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+            sampled)
+
+
+def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
+                     campos, raydir, camrotc2w, bg_color, prob):
+    """Everything downstream of the neighbor query: gather -> aggregate ->
+    march -> outputs (shared by the world- and perspective-space paths)."""
+    B, R, _ = raydir.shape
+    (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+     sampled) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
+                                     sample_loc_w, campos, raydir, camrotc2w)
+    sampled_xyz, sampled_embedding = sampled["xyz"], sampled["embedding"]
+    sampled_color, sampled_dir = sampled["color"], sampled["dir"]
+    sampled_conf = sampled["conf"]
 
     ray_dist = ray_dist_from_z(
         sample_loc[..., 2], ray_valid, cfg.vsize[2], cfg.raydist_mode_unit)

@@ -41,6 +41,21 @@ class QueryResult(NamedTuple):
     sample_label: Optional[jnp.ndarray] = None  # (B,R,SR) int32 or None
 
 
+def compact_hits(hit: jnp.ndarray, SR: int):
+    """Compact the first SR True entries along the last axis of `hit`
+    (..., D) into (smask (..., SR), gather_d (..., SR) source indices).
+
+    "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
+    scatter loops serialize badly): score hits by D-d so the SR largest
+    scores are the SR smallest d, returned in ascending-d order. Also used
+    by the spatially-sharded renderer on the psum-merged hit mask."""
+    D = hit.shape[-1]
+    d_rng = jnp.arange(D, dtype=jnp.int32)
+    score = jnp.where(hit, D - d_rng, -1)
+    top, top_d = jax.lax.top_k(score, SR)
+    return top > 0, jnp.clip(top_d, 0, D - 1)
+
+
 def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
                              ray_label: Optional[jnp.ndarray] = None):
     """Mask ray samples by dilated occupancy and compact the first SR hits.
@@ -62,15 +77,7 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
         cc = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
         occ = _take3d(grid.occ_mask, cc, spec.vdim) > 0
         hit = inb & occ  # (B,R,D)
-
-        # "first SR hits along the ray" as ONE top_k (TPU-friendly; per-ray
-        # scatter loops serialize badly): score hits by D-d so the SR largest
-        # scores are the SR smallest d, returned in ascending-d order.
-        d_rng = jnp.arange(D, dtype=jnp.int32)
-        score = jnp.where(hit, D - d_rng, -1)               # (B,R,D)
-        top, top_d = jax.lax.top_k(score, SR)               # (B,R,SR)
-        smask = top > 0
-        gather_d = jnp.clip(top_d, 0, D - 1)
+        smask, gather_d = compact_hits(hit, SR)
     loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
     loc = jnp.where(smask[..., None], loc, 0.0)
     lbl = None

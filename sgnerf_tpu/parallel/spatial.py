@@ -1,0 +1,358 @@
+"""Spatially-sharded neural point scenes: slab decomposition + halo.
+
+The reference is hard-capped at one GPU's memory (single-device design,
+SURVEY §2.6); our replicated path (parallel/sharded.py) inherits that cap
+per chip — at 8 mm voxels a 1M-point room already carries a ~3 GB
+neighborhood cache. This module removes the cap the TPU-native way
+anticipated by SURVEY §2.6/§7: the scene (point attributes + voxel grid +
+neighborhood cache) is decomposed into X-axis voxel slabs, one per device,
+each padded with a halo wide enough to cover the query kernel, and the
+renderer runs under `shard_map` with three tiny collectives:
+
+  1. `psum` of the per-slab sample-hit mask (union of dilated occupancy) so
+     every chip compacts the SAME shading points;
+  2. each chip queries/gathers/shades ONLY the shading points whose voxel it
+     owns (ownership is disjoint: slab interval along x), producing zeros
+     elsewhere — the per-point work (the expensive part: cache gather,
+     attribute gather, per-neighbor MLPs) splits ~1/n per chip;
+  3. `psum` of the decoded (B,R,SR,4) features + masks merges the slabs;
+     the (cheap) volume march then runs replicated.
+
+Because ownership is disjoint and the halo covers the kernel extent, the
+result is numerically the single-device render (exactness asserted in
+tests/test_spatial.py on an 8-device CPU mesh). Scene memory per chip is
+~1/n_shards (+halo); rays can still be sharded on top by chunking.
+
+Reference mapping: this replaces "render the whole scene on one device";
+there is no reference counterpart to cite beyond the querier semantics
+already implemented by ops/grid.py + ops/query.py, which this reuses.
+
+Current scope: inference/rendering. Training on sharded scenes would need a
+halo-duplicate gradient reduction (documented in NEXT.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exports shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..models.point_cloud import NeuralPointCloud
+from ..models.renderer import RenderConfig, gather_and_aggregate
+from ..ops.grid import (GridSpec, _build_grid_core, _build_nbr_cache_jit,
+                        take3d, unpack_cache, voxel_coords, in_bounds)
+from ..ops.march import (ray_march, ray_dist_from_z, find_render_function,
+                         find_blend_function, find_tone_map)
+from ..ops.query import compact_hits
+from ..ops.raygen import find_ray_generation_method
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialSpec:
+    """Static decomposition geometry (hashable; safe as a jit static)."""
+    gspec: GridSpec          # GLOBAL grid spec (full vdim)
+    n_shards: int
+    slab_w: int              # owned voxels along x per shard (last may own less)
+    halo: int                # extra voxels on each side of the slab
+    cap_pts: int             # per-shard point capacity (halo included, padded)
+    max_o_s: int             # per-shard occupied-voxel capacity
+    max_d_s: int             # per-shard dilated-voxel (cache) capacity
+
+    @property
+    def Lx(self) -> int:
+        return self.slab_w + 2 * self.halo
+
+    @property
+    def lspec(self) -> GridSpec:
+        """Per-shard build/query spec: the global spec windowed to Lx voxels
+        along x (points are shifted by -x_off*vsize at build time so one
+        static spec serves every shard)."""
+        return dataclasses.replace(
+            self.gspec, vdim=(self.Lx, self.gspec.vdim[1],
+                              self.gspec.vdim[2]),
+            max_o=self.max_o_s, coarse_factor=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedScene:
+    """All arrays carry a leading (n_shards,) axis, sharded over the mesh."""
+    cloud: NeuralPointCloud   # every leaf stacked: (n, cap_pts, ...) etc.
+    occ_mask: jnp.ndarray     # (n, Lx, Y, Z) uint8 dilated occupancy
+    dil_slot: jnp.ndarray     # (n, Lx, Y, Z) int32 cache slot or -1
+    nbr_packed: jnp.ndarray   # (n, max_d_s, C*W) int16 neighborhood cache
+    x_off: jnp.ndarray        # (n,) int32 global gx of local x=0 (lo_i - halo)
+    own_lo: jnp.ndarray       # (n,) int32 ownership interval [own_lo, own_hi)
+    own_hi: jnp.ndarray       # (n,) int32
+
+
+def _round_up(v: int, b: int) -> int:
+    return max(b, ((v + b - 1) // b) * b)
+
+
+def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
+                        n_shards: int, *, pts_bucket: int = 4096,
+                        vox_bucket: int = 8192):
+    """Decompose `cloud` into n_shards X-slabs and build per-slab grids.
+
+    Host-side (numpy) slab selection; per-slab grid/cache builds run the
+    same jitted programs as the replicated path (one compile each — every
+    shard shares one static local spec). Capacities are maxima over shards,
+    bucketed to bound recompiles across scenes.
+
+    Returns (ShardedScene, SpatialSpec).
+    """
+    assert gspec.nbr_cache > 0, "sharded rendering requires the nbr cache"
+    xyz = np.asarray(cloud.xyz)
+    active = np.asarray(cloud.active)
+    X, Y, Z = gspec.vdim
+    vsx = gspec.vsize[0]
+    minx = gspec.min_corner[0]
+    gx = np.floor((xyz[:, 0] - minx) / vsx).astype(np.int64)
+
+    halo = max(gspec.kernel_size) // 2 + 1
+    slab_w = (X + n_shards - 1) // n_shards
+    Lx = slab_w + 2 * halo
+
+    # per-shard point selection + capacity sizing
+    sels, occ_counts, dil_counts = [], [], []
+    voxel = np.stack([gx, np.floor((xyz[:, 1] - gspec.min_corner[1])
+                                   / gspec.vsize[1]).astype(np.int64),
+                      np.floor((xyz[:, 2] - gspec.min_corner[2])
+                               / gspec.vsize[2]).astype(np.int64)], -1)
+    inb = active & (gx >= 0) & (gx < X) \
+        & (voxel[:, 1] >= 0) & (voxel[:, 1] < Y) \
+        & (voxel[:, 2] >= 0) & (voxel[:, 2] < Z)
+    for i in range(n_shards):
+        lo = i * slab_w
+        sel = np.nonzero(inb & (gx >= lo - halo)
+                         & (gx < lo + slab_w + halo))[0]
+        sels.append(sel)
+        if len(sel):
+            occ = np.unique(voxel[sel], axis=0)
+            # dilation by kernel_size around occupied voxels, clipped to the
+            # shard window — sizes the cache table
+            ks = np.asarray(gspec.kernel_size) // 2
+            offs = np.stack(np.meshgrid(*[np.arange(-k, k + 1) for k in ks],
+                                        indexing="ij"), -1).reshape(-1, 3)
+            dil = (occ[:, None, :] + offs[None]).reshape(-1, 3)
+            lox = lo - halo
+            ok = ((dil[:, 0] >= max(lox, 0)) & (dil[:, 0] < min(lox + Lx, X))
+                  & (dil[:, 1] >= 0) & (dil[:, 1] < Y)
+                  & (dil[:, 2] >= 0) & (dil[:, 2] < Z))
+            dil_counts.append(len(np.unique(dil[ok], axis=0)))
+            occ_counts.append(len(occ))
+        else:
+            occ_counts.append(1)
+            dil_counts.append(1)
+
+    cap_pts = _round_up(max(len(s) for s in sels), pts_bucket)
+    max_o_s = _round_up(max(occ_counts), vox_bucket)
+    max_d_s = _round_up(max(dil_counts), vox_bucket)
+
+    sspec = SpatialSpec(gspec=gspec, n_shards=n_shards, slab_w=slab_w,
+                        halo=halo, cap_pts=cap_pts, max_o_s=max_o_s,
+                        max_d_s=max_d_s)
+    lspec = sspec.lspec
+
+    def slab_cloud(i: int) -> NeuralPointCloud:
+        sel = sels[i]
+        n = len(sel)
+
+        def take(a, fill=0.0):
+            a = np.asarray(a)
+            out = np.full((cap_pts,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a[sel]
+            return jnp.asarray(out)
+
+        return NeuralPointCloud(
+            xyz=take(cloud.xyz, 1e9), embedding=take(cloud.embedding),
+            conf=take(cloud.conf), dir=take(cloud.dir),
+            color=take(cloud.color), feats=take(cloud.feats),
+            label=take(cloud.label), label_prob=take(cloud.label_prob),
+            sem_embedding=take(cloud.sem_embedding),
+            Rw2c=cloud.Rw2c if np.asarray(cloud.Rw2c).ndim == 2
+            else jnp.asarray(cloud.Rw2c),
+            rot_idx=take(cloud.rot_idx),
+            active=take(cloud.active, False),
+            n_active=jnp.asarray(n, jnp.int32),
+        )
+
+    occ_l, dil_l, nbr_l, clouds = [], [], [], []
+    x_offs, own_los, own_his = [], [], []
+    for i in range(n_shards):
+        lo = i * slab_w
+        x_off = lo - halo
+        lcloud = slab_cloud(i)
+        # shift so the shard window starts at local voxel x=0; one static
+        # lspec then serves every shard (one compile, not n)
+        shift = jnp.asarray([x_off * vsx, 0.0, 0.0], jnp.float32)
+        lgrid = _build_grid_core(lcloud.xyz - shift, lcloud.active, lspec)
+        dil_slot, nbr_packed = _build_nbr_cache_jit(lgrid, lspec, max_d_s)
+        occ_l.append(lgrid.occ_mask)
+        dil_l.append(dil_slot)
+        nbr_l.append(nbr_packed)
+        clouds.append(lcloud)
+        x_offs.append(x_off)
+        own_los.append(lo)
+        own_his.append(min(lo + slab_w, X))
+
+    stacked_cloud = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    return ShardedScene(
+        cloud=stacked_cloud,
+        occ_mask=jnp.stack(occ_l),
+        dil_slot=jnp.stack(dil_l),
+        nbr_packed=jnp.stack(nbr_l),
+        x_off=jnp.asarray(x_offs, jnp.int32),
+        own_lo=jnp.asarray(own_los, jnp.int32),
+        own_hi=jnp.asarray(own_his, jnp.int32),
+    ), sspec
+
+
+def shard_scene_put(scene: ShardedScene, mesh: Mesh) -> ShardedScene:
+    """Place every scene leaf with its leading shard axis over the mesh."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), scene)
+
+
+def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
+                 sample_loc_w, smask):
+    """Per-shard neighbor query: cache lookup restricted to OWNED shading
+    points (mirrors ops/query.query_neighbors' cache path on slab-local
+    tables)."""
+    (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi) = scene_slice
+    gspec, lspec = sspec.gspec, sspec.lspec
+    B, R, SR, _ = sample_loc_w.shape
+
+    c = voxel_coords(sample_loc_w, gspec)                  # global (B,R,SR,3)
+    own = smask & (c[..., 0] >= own_lo) & (c[..., 0] < own_hi) \
+        & in_bounds(c, gspec)
+    lc = c - jnp.stack([x_off, jnp.zeros_like(x_off),
+                        jnp.zeros_like(x_off)])            # local coords
+    ldim = (sspec.Lx, gspec.vdim[1], gspec.vdim[2])
+    lcc = jnp.clip(lc, 0, jnp.asarray(ldim, jnp.int32) - 1)
+    slot = take3d(dil_slot, lcc, ldim)
+    slot_ok = own & (slot >= 0)
+    slot_c = jnp.clip(slot, 0, sspec.max_d_s - 1)
+
+    rows = jax.lax.optimization_barrier(nbr_packed[slot_c])
+    off, cand = unpack_cache(rows, lspec)
+    center = (c.astype(jnp.float32) + 0.5) * gspec.vsize_arr \
+        + gspec.min_corner_arr
+    cxyz = center[..., None, :] + off.astype(jnp.float32)
+    cand_ok = slot_ok[..., None] & (cand >= 0)
+    d2 = jnp.sum((cxyz - sample_loc_w[..., None, :]) ** 2, axis=-1)
+
+    radius2 = jnp.asarray(cfg.radius_limit, d2.dtype) ** 2
+    ok = cand_ok & jnp.where(radius2 > 0, d2 <= radius2, True)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2m = jnp.where(ok, d2, big)
+    neg_top, top_idx = jax.lax.top_k(-d2m, cfg.K)
+    top_ok = -neg_top < big
+    sample_pidx = jnp.where(
+        top_ok, jnp.take_along_axis(cand, top_idx, axis=-1), -1)
+    return sample_pidx.astype(jnp.int32), own
+
+
+def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
+                        sspec: SpatialSpec, cfg: RenderConfig, mesh: Mesh, *,
+                        campos, raydir, camrotc2w, near, far,
+                        bg_color: Optional[jnp.ndarray] = None
+                        ) -> Dict[str, jnp.ndarray]:
+    """Render over the slab-sharded scene; outputs replicate on every chip
+    and match render_rays on the equivalent un-sharded scene."""
+
+    def body(params, cloud, occ_mask, dil_slot, nbr_packed, x_off, own_lo,
+             own_hi, campos, raydir, camrotc2w, bg_color):
+        # strip the per-shard leading axis
+        cloud = jax.tree.map(lambda a: a[0], cloud)
+        occ_mask, dil_slot = occ_mask[0], dil_slot[0]
+        nbr_packed = nbr_packed[0]
+        x_off, own_lo, own_hi = x_off[0], own_lo[0], own_hi[0]
+        gspec = sspec.gspec
+        B, R, _ = raydir.shape
+
+        raygen = find_ray_generation_method(cfg.which_ray_generation)
+        raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim, near=near,
+                                 far=far, jitter=0.0,
+                                 domain_size=cfg.domain_size)
+
+        # (1) slab-local hit mask -> psum union -> identical compaction
+        c = voxel_coords(raypos, gspec)
+        inb = in_bounds(c, gspec)
+        lc = c - jnp.stack([x_off, jnp.zeros_like(x_off),
+                            jnp.zeros_like(x_off)])
+        ldim = (sspec.Lx, gspec.vdim[1], gspec.vdim[2])
+        lin = jnp.all((lc >= 0) & (lc < jnp.asarray(ldim, jnp.int32)),
+                      axis=-1)
+        lcc = jnp.clip(lc, 0, jnp.asarray(ldim, jnp.int32) - 1)
+        occ = take3d(occ_mask, lcc, ldim) > 0
+        hit_local = (inb & lin & occ).astype(jnp.int32)
+        hit = jax.lax.psum(hit_local, "data") > 0           # union over slabs
+        smask, gather_d = compact_hits(hit, cfg.SR)
+        loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
+        sample_loc_w = jnp.where(smask[..., None], loc, 0.0)
+
+        # (2) owned-slab query + gather + per-neighbor MLPs
+        sample_pidx, own = _local_query(
+            (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi),
+            sspec, cfg, sample_loc_w, smask)
+        (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+         _) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
+                                   sample_loc_w, campos, raydir, camrotc2w)
+        ownf = own.astype(decoded.dtype)
+        decoded = decoded * ownf[..., None]
+        weight = weight * ownf[..., None]
+        conf_coefficient = conf_coefficient * ownf[..., None]  # (B,R,SR,K)
+
+        # (3) merge slabs: ownership is disjoint, so psum IS the gather
+        decoded = jax.lax.psum(decoded, "data")
+        weight = jax.lax.psum(weight, "data")
+        conf_coefficient = jax.lax.psum(conf_coefficient, "data")
+        ray_valid = jax.lax.psum(
+            (ray_valid & own).astype(jnp.int32), "data") > 0
+        ray_mask = jnp.any(ray_valid, axis=-1)
+
+        ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
+                                   cfg.vsize[2], cfg.raydist_mode_unit)
+        render_func = find_render_function(cfg.which_render_func)
+        blend_func = find_blend_function(cfg.which_blend_func)
+        tone_map = find_tone_map(cfg.which_tonemap_func)
+        (ray_color, _, opacity, _, blend_weight, background_transmission,
+         _) = ray_march(ray_dist, ray_valid, decoded, render_func,
+                        blend_func, bg_color)
+        return {
+            "coarse_raycolor": tone_map(ray_color),
+            "coarse_point_opacity": opacity,
+            "coarse_is_background": background_transmission,
+            "queried_shading": jnp.broadcast_to(
+                jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
+                                ).astype(jnp.float32), (B, R, 3)),
+            "ray_mask": ray_mask,
+            "ray_valid": ray_valid,
+            "weight": jax.lax.stop_gradient(weight),
+            "blend_weight": jax.lax.stop_gradient(blend_weight),
+            "conf_coefficient": conf_coefficient,
+        }
+
+    if bg_color is None:
+        bg_color = jnp.ones(3, jnp.float32)
+    shard = P("data")
+    rep = P()
+    fn = _shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, shard, shard, shard, shard, shard, shard, shard,
+                  rep, rep, rep, rep),
+        out_specs=rep, check_vma=False)
+    return fn(params, scene.cloud, scene.occ_mask, scene.dil_slot,
+              scene.nbr_packed, scene.x_off, scene.own_lo, scene.own_hi,
+              campos, raydir, camrotc2w, bg_color)
