@@ -189,7 +189,12 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         slot_c = jnp.clip(slot, 0, max_d - 1)
         from .grid import unpack_cache
         # barrier: one materialization of the 640B-row gather (XLA otherwise
-        # duplicates it into the offset and pidx consumers' fusions)
+        # duplicates it into the offset and pidx consumers' fusions).
+        # NOTE a Pallas per-row-DMA alternative was A/B'd and is a measured
+        # dead end on this toolchain: Mosaic tiles the (max_d, C*W) cache to
+        # (8,128) HBM layout and crashes on dynamic row slices; the working
+        # (T,8,128) tile layout would amplify the cache 6.4x in HBM
+        # (dev_scripts/probe_pallas_cache.py, PERFORMANCE.md).
         rows = jax.lax.optimization_barrier(grid.nbr_packed[slot_c])
         off, cand = unpack_cache(rows, spec)
         # cache rows hold OFFSETS from the voxel center (grid.py build);

@@ -151,6 +151,10 @@ _F = [
     ("profile_steps", int, 10, None),
     ("cache_dtype", str, "float32", None),
     ("bpnet_dtype", str, "float32", None),
+    # spatially-sharded scene rendering (parallel/spatial.py): decompose the
+    # point cloud + grid + neighborhood cache into N X-axis voxel slabs over
+    # N devices (scene memory ~1/N per chip). 0 = replicated. Inference only.
+    ("scene_shards", int, 0, None),
     # DTU (MVSNet-preprocessed) loader
     ("dtu_cam_scale", float, 4.0, None), ("dtu_light_idx", int, 3, None),
     # BPNet flags

@@ -27,8 +27,12 @@ Reference mapping: this replaces "render the whole scene on one device";
 there is no reference counterpart to cite beyond the querier semantics
 already implemented by ops/grid.py + ops/query.py, which this reuses.
 
-Current scope: inference/rendering. Training on sharded scenes would need a
-halo-duplicate gradient reduction (documented in NEXT.md).
+Training on sharded scenes (spatial_train_step) adds: per-shard backward
+(param grads psum over shards), a halo-duplicate gradient reduction for the
+per-point tensors (scatter-add at global ids -> psum -> gather back, so both
+copies of every halo point receive the total gradient and evolve in
+lockstep), and per-shard optimizer state. Gradient parity with the
+replicated train_step is asserted in tests.
 """
 from __future__ import annotations
 
@@ -66,6 +70,7 @@ class SpatialSpec:
     cap_pts: int             # per-shard point capacity (halo included, padded)
     max_o_s: int             # per-shard occupied-voxel capacity
     max_d_s: int             # per-shard dilated-voxel (cache) capacity
+    n_global: int = 0        # global point capacity (halo grad-sync buffer)
 
     @property
     def Lx(self) -> int:
@@ -93,6 +98,10 @@ class ShardedScene:
     x_off: jnp.ndarray        # (n,) int32 global gx of local x=0 (lo_i - halo)
     own_lo: jnp.ndarray       # (n,) int32 ownership interval [own_lo, own_hi)
     own_hi: jnp.ndarray       # (n,) int32
+    gid: jnp.ndarray          # (n, cap_pts) int32 local row -> GLOBAL point id
+    #                           (padding rows = global capacity sentinel);
+    #                           halo rows appear on two shards — the training
+    #                           halo grad sync reduces over this map
 
 
 def _round_up(v: int, b: int) -> int:
@@ -161,7 +170,7 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
 
     sspec = SpatialSpec(gspec=gspec, n_shards=n_shards, slab_w=slab_w,
                         halo=halo, cap_pts=cap_pts, max_o_s=max_o_s,
-                        max_d_s=max_d_s)
+                        max_d_s=max_d_s, n_global=cloud.capacity)
     lspec = sspec.lspec
 
     def slab_cloud(i: int) -> NeuralPointCloud:
@@ -187,7 +196,7 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
             n_active=jnp.asarray(n, jnp.int32),
         )
 
-    occ_l, dil_l, nbr_l, clouds = [], [], [], []
+    occ_l, dil_l, nbr_l, clouds, gids = [], [], [], [], []
     x_offs, own_los, own_his = [], [], []
     for i in range(n_shards):
         lo = i * slab_w
@@ -202,6 +211,9 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
         dil_l.append(dil_slot)
         nbr_l.append(nbr_packed)
         clouds.append(lcloud)
+        g = np.full(cap_pts, cloud.capacity, np.int32)
+        g[:len(sels[i])] = sels[i]
+        gids.append(jnp.asarray(g))
         x_offs.append(x_off)
         own_los.append(lo)
         own_his.append(min(lo + slab_w, X))
@@ -215,6 +227,7 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
         x_off=jnp.asarray(x_offs, jnp.int32),
         own_lo=jnp.asarray(own_los, jnp.int32),
         own_hi=jnp.asarray(own_his, jnp.int32),
+        gid=jnp.stack(gids),
     ), sspec
 
 
@@ -222,6 +235,27 @@ def shard_scene_put(scene: ShardedScene, mesh: Mesh) -> ShardedScene:
     """Place every scene leaf with its leading shard axis over the mesh."""
     sh = NamedSharding(mesh, P("data"))
     return jax.tree.map(lambda a: jax.device_put(a, sh), scene)
+
+
+@jax.custom_vjp
+def _merge(x):
+    """psum with IDENTITY transpose. The slab merge feeds exclusively
+    replicated computation (march + losses), whose cotangent is identical
+    on every shard; the plain psum transpose under check_vma=False would
+    psum those identical cotangents AGAIN, scaling every gradient by
+    n_shards (measured: exactly 8x on the 8-device mesh)."""
+    return jax.lax.psum(x, "data")
+
+
+def _merge_fwd(x):
+    return _merge(x), None
+
+
+def _merge_bwd(_, g):
+    return (g,)
+
+
+_merge.defvjp(_merge_fwd, _merge_bwd)
 
 
 def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
@@ -263,6 +297,82 @@ def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
     return sample_pidx.astype(jnp.int32), own
 
 
+def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
+                   own_lo, own_hi, sspec: SpatialSpec, cfg: RenderConfig,
+                   campos, raydir, camrotc2w, near, far, bg_color,
+                   key=None, is_train=False) -> Dict[str, jnp.ndarray]:
+    """Per-shard forward pass (runs INSIDE shard_map; all scene operands are
+    this shard's slices). Outputs are replicated (post-psum) and match
+    render_rays on the equivalent un-sharded scene."""
+    gspec = sspec.gspec
+    B, R, _ = raydir.shape
+
+    raygen = find_ray_generation_method(cfg.which_ray_generation)
+    raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim, near=near,
+                             far=far,
+                             jitter=cfg.jitter if is_train else 0.0,
+                             key=key, domain_size=cfg.domain_size)
+
+    # (1) slab-local hit mask -> psum union -> identical compaction
+    c = voxel_coords(raypos, gspec)
+    inb = in_bounds(c, gspec)
+    lc = c - jnp.stack([x_off, jnp.zeros_like(x_off),
+                        jnp.zeros_like(x_off)])
+    ldim = (sspec.Lx, gspec.vdim[1], gspec.vdim[2])
+    lin = jnp.all((lc >= 0) & (lc < jnp.asarray(ldim, jnp.int32)),
+                  axis=-1)
+    lcc = jnp.clip(lc, 0, jnp.asarray(ldim, jnp.int32) - 1)
+    occ = take3d(occ_mask, lcc, ldim) > 0
+    hit_local = (inb & lin & occ).astype(jnp.int32)
+    hit = jax.lax.psum(hit_local, "data") > 0           # union over slabs
+    smask, gather_d = compact_hits(hit, cfg.SR)
+    loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
+    sample_loc_w = jnp.where(smask[..., None], loc, 0.0)
+
+    # (2) owned-slab query + gather + per-neighbor MLPs
+    sample_pidx, own = _local_query(
+        (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi),
+        sspec, cfg, sample_loc_w, smask)
+    (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+     _) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
+                               sample_loc_w, campos, raydir, camrotc2w)
+    ownf = own.astype(decoded.dtype)
+    decoded = decoded * ownf[..., None]
+    weight = weight * ownf[..., None]
+    conf_coefficient = conf_coefficient * ownf[..., None]  # (B,R,SR,K)
+
+    # (3) merge slabs: ownership is disjoint, so psum IS the gather
+    # (identity-transpose psum: see _merge)
+    decoded = _merge(decoded)
+    weight = _merge(weight)
+    conf_coefficient = _merge(conf_coefficient)
+    ray_valid = jax.lax.psum(
+        (ray_valid & own).astype(jnp.int32), "data") > 0
+    ray_mask = jnp.any(ray_valid, axis=-1)
+
+    ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
+                               cfg.vsize[2], cfg.raydist_mode_unit)
+    render_func = find_render_function(cfg.which_render_func)
+    blend_func = find_blend_function(cfg.which_blend_func)
+    tone_map = find_tone_map(cfg.which_tonemap_func)
+    (ray_color, _, opacity, _, blend_weight, background_transmission,
+     _) = ray_march(ray_dist, ray_valid, decoded, render_func,
+                    blend_func, bg_color)
+    return {
+        "coarse_raycolor": tone_map(ray_color),
+        "coarse_point_opacity": opacity,
+        "coarse_is_background": background_transmission,
+        "queried_shading": jnp.broadcast_to(
+            jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
+                            ).astype(jnp.float32), (B, R, 3)),
+        "ray_mask": ray_mask,
+        "ray_valid": ray_valid,
+        "weight": jax.lax.stop_gradient(weight),
+        "blend_weight": jax.lax.stop_gradient(blend_weight),
+        "conf_coefficient": conf_coefficient,
+    }
+
+
 def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
                         sspec: SpatialSpec, cfg: RenderConfig, mesh: Mesh, *,
                         campos, raydir, camrotc2w, near, far,
@@ -272,77 +382,12 @@ def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
     and match render_rays on the equivalent un-sharded scene."""
 
     def body(params, cloud, occ_mask, dil_slot, nbr_packed, x_off, own_lo,
-             own_hi, campos, raydir, camrotc2w, bg_color):
-        # strip the per-shard leading axis
-        cloud = jax.tree.map(lambda a: a[0], cloud)
-        occ_mask, dil_slot = occ_mask[0], dil_slot[0]
-        nbr_packed = nbr_packed[0]
-        x_off, own_lo, own_hi = x_off[0], own_lo[0], own_hi[0]
-        gspec = sspec.gspec
-        B, R, _ = raydir.shape
-
-        raygen = find_ray_generation_method(cfg.which_ray_generation)
-        raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim, near=near,
-                                 far=far, jitter=0.0,
-                                 domain_size=cfg.domain_size)
-
-        # (1) slab-local hit mask -> psum union -> identical compaction
-        c = voxel_coords(raypos, gspec)
-        inb = in_bounds(c, gspec)
-        lc = c - jnp.stack([x_off, jnp.zeros_like(x_off),
-                            jnp.zeros_like(x_off)])
-        ldim = (sspec.Lx, gspec.vdim[1], gspec.vdim[2])
-        lin = jnp.all((lc >= 0) & (lc < jnp.asarray(ldim, jnp.int32)),
-                      axis=-1)
-        lcc = jnp.clip(lc, 0, jnp.asarray(ldim, jnp.int32) - 1)
-        occ = take3d(occ_mask, lcc, ldim) > 0
-        hit_local = (inb & lin & occ).astype(jnp.int32)
-        hit = jax.lax.psum(hit_local, "data") > 0           # union over slabs
-        smask, gather_d = compact_hits(hit, cfg.SR)
-        loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
-        sample_loc_w = jnp.where(smask[..., None], loc, 0.0)
-
-        # (2) owned-slab query + gather + per-neighbor MLPs
-        sample_pidx, own = _local_query(
-            (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi),
-            sspec, cfg, sample_loc_w, smask)
-        (decoded, ray_valid, weight, conf_coefficient, sample_loc,
-         _) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
-                                   sample_loc_w, campos, raydir, camrotc2w)
-        ownf = own.astype(decoded.dtype)
-        decoded = decoded * ownf[..., None]
-        weight = weight * ownf[..., None]
-        conf_coefficient = conf_coefficient * ownf[..., None]  # (B,R,SR,K)
-
-        # (3) merge slabs: ownership is disjoint, so psum IS the gather
-        decoded = jax.lax.psum(decoded, "data")
-        weight = jax.lax.psum(weight, "data")
-        conf_coefficient = jax.lax.psum(conf_coefficient, "data")
-        ray_valid = jax.lax.psum(
-            (ray_valid & own).astype(jnp.int32), "data") > 0
-        ray_mask = jnp.any(ray_valid, axis=-1)
-
-        ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
-                                   cfg.vsize[2], cfg.raydist_mode_unit)
-        render_func = find_render_function(cfg.which_render_func)
-        blend_func = find_blend_function(cfg.which_blend_func)
-        tone_map = find_tone_map(cfg.which_tonemap_func)
-        (ray_color, _, opacity, _, blend_weight, background_transmission,
-         _) = ray_march(ray_dist, ray_valid, decoded, render_func,
-                        blend_func, bg_color)
-        return {
-            "coarse_raycolor": tone_map(ray_color),
-            "coarse_point_opacity": opacity,
-            "coarse_is_background": background_transmission,
-            "queried_shading": jnp.broadcast_to(
-                jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
-                                ).astype(jnp.float32), (B, R, 3)),
-            "ray_mask": ray_mask,
-            "ray_valid": ray_valid,
-            "weight": jax.lax.stop_gradient(weight),
-            "blend_weight": jax.lax.stop_gradient(blend_weight),
-            "conf_coefficient": conf_coefficient,
-        }
+             own_hi, campos, raydir, camrotc2w, near, far, bg_color):
+        cloud = jax.tree.map(lambda a: a[0], cloud)  # strip the shard axis
+        return _forward_local(
+            params, cloud, occ_mask[0], dil_slot[0], nbr_packed[0],
+            x_off[0], own_lo[0], own_hi[0], sspec, cfg, campos, raydir,
+            camrotc2w, near, far, bg_color)
 
     if bg_color is None:
         bg_color = jnp.ones(3, jnp.float32)
@@ -351,8 +396,160 @@ def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
     fn = _shard_map(
         body, mesh=mesh,
         in_specs=(rep, shard, shard, shard, shard, shard, shard, shard,
-                  rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep),
         out_specs=rep, check_vma=False)
     return fn(params, scene.cloud, scene.occ_mask, scene.dil_slot,
               scene.nbr_packed, scene.x_off, scene.own_lo, scene.own_hi,
-              campos, raydir, camrotc2w, bg_color)
+              campos, raydir, camrotc2w, jnp.asarray(near, jnp.float32),
+              jnp.asarray(far, jnp.float32), bg_color)
+
+
+# --------------------------------------------------------------- training
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpatialTrainState:
+    """Training state for slab-sharded scenes: MLP params + net-optimizer
+    state replicate; the scene (incl. point attributes) and the per-point
+    optimizer state carry the (n_shards,) leading axis."""
+    params: Any
+    scene: ShardedScene
+    opt_state_net: Any
+    opt_state_pts: Any          # leading (n_shards,) axis on every leaf
+    step: jnp.ndarray           # () int32
+
+
+def create_spatial_train_state(params, scene: ShardedScene, tcfg
+                               ) -> SpatialTrainState:
+    from ..models.train import make_optimizers, _point_subtree
+    net_tx, pts_tx = make_optimizers(tcfg)
+    pts = _point_subtree(scene.cloud)      # leaves (n, cap_pts, C)
+    return SpatialTrainState(
+        params=params,
+        scene=scene,
+        opt_state_net=net_tx.init(params),
+        opt_state_pts=jax.vmap(pts_tx.init)(pts),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
+                       cfg: RenderConfig, tcfg, batch: Dict[str, Any],
+                       key: jax.Array, mesh: Mesh, return_grads: bool = False):
+    """One training step on a slab-sharded scene.
+
+    Matches models/train.train_step on the equivalent replicated scene
+    (asserted in tests/test_spatial.py):
+      * forward = _forward_local (psum-merged, identical outputs/losses on
+        every chip given the shared PRNG key);
+      * param grads psum over shards (each shard's backward covers only its
+        owned shading points);
+      * per-point grads live on local (halo-duplicated) rows; the true
+        gradient of a physical point is the sum over its copies, which is
+        realized by a scatter-add into a global buffer, a psum, and a
+        gather back through the local->global id map (scene.gid). Copies
+        therefore receive identical totals and evolve in lockstep, keeping
+        halo duplicates consistent without any re-sharding.
+
+    xyz must be frozen (tcfg.xyz_grad == 0): moving points would invalidate
+    the slab decomposition (the replicated path has the same grid-staleness
+    constraint; reference fine-tuning also freezes xyz).
+    """
+    import optax
+    from ..models.losses import compute_losses
+    from ..models.train import make_optimizers, _point_subtree, _with_points
+
+    assert not tcfg.xyz_grad, "sharded training requires frozen xyz"
+    net_tx, pts_tx = make_optimizers(tcfg)
+
+    def body(params, scene, opt_net, opt_pts, step, campos, raydir,
+             camrotc2w, near, far, bg_color, gt_image, key):
+        cloud = jax.tree.map(lambda a: a[0], scene.cloud)
+        opt_pts = jax.tree.map(lambda a: a[0], opt_pts)
+        gid = scene.gid[0]
+        kj = jax.random.split(key)[0]  # mirrors render_rays' key split
+
+        def loss_fn(params, pts):
+            pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
+                   for k, v in pts.items()}
+            lcloud = _with_points(cloud, pts)
+            out = _forward_local(
+                params, lcloud, scene.occ_mask[0], scene.dil_slot[0],
+                scene.nbr_packed[0], scene.x_off[0], scene.own_lo[0],
+                scene.own_hi[0], sspec, cfg, campos, raydir, camrotc2w,
+                near, far, bg_color, key=kj, is_train=True)
+            total, losses = compute_losses(
+                out, gt_image,
+                color_loss_items=tcfg.color_loss_items,
+                color_loss_weights=tcfg.color_loss_weights,
+                zero_one_loss_items=tcfg.zero_one_loss_items,
+                zero_one_loss_weights=tcfg.zero_one_loss_weights,
+                sparse_loss_weight=tcfg.sparse_loss_weight,
+                zero_epsilon=tcfg.zero_epsilon)
+            return total, losses
+
+        pts = _point_subtree(cloud)
+        (_, losses), (g_net, g_pts) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, pts)
+
+        # each shard's backward covers only its owned shading points
+        g_net = jax.lax.psum(g_net, "data")
+
+        # halo grad sync: scatter-add local grads at global ids, psum,
+        # gather back -> every copy of a physical point gets the total
+        def sync(g):
+            flat = g.reshape(sspec.cap_pts, -1)
+            buf = jnp.zeros((sspec.n_global, flat.shape[1]), flat.dtype)
+            buf = buf.at[jnp.clip(gid, 0, sspec.n_global)].add(
+                jnp.where((gid < sspec.n_global)[:, None], flat, 0.0),
+                mode="drop")
+            buf = jax.lax.psum(buf, "data")
+            return buf[jnp.clip(gid, 0, sspec.n_global - 1)].reshape(g.shape)
+
+        g_pts = jax.tree.map(sync, g_pts)
+
+        if tcfg.alter_step > 0:
+            phase = (step // tcfg.alter_step) % 3
+            net_scale = (phase == 0).astype(jnp.float32)
+            pts_scale = (phase == 1).astype(jnp.float32)
+        else:
+            net_scale = pts_scale = jnp.asarray(1.0)
+
+        up_net, os_net = net_tx.update(g_net, opt_net, params)
+        up_net = jax.tree.map(lambda u: u * net_scale, up_net)
+        new_params = optax.apply_updates(params, up_net)
+
+        up_pts, os_pts = pts_tx.update(g_pts, opt_pts, pts)
+        up_pts = jax.tree.map(lambda u: u * pts_scale, up_pts)
+        new_pts = optax.apply_updates(pts, up_pts)
+
+        new_cloud = _with_points(cloud, new_pts)
+        new_scene = dataclasses.replace(
+            scene, cloud=jax.tree.map(lambda a: a[None], new_cloud))
+        os_pts = jax.tree.map(lambda a: a[None], os_pts)
+        grads = ((g_net, jax.tree.map(lambda a: a[None], g_pts))
+                 if return_grads else (0, jax.tree.map(
+                     lambda a: a[None] * 0, g_pts)))
+        return new_params, new_scene, os_net, os_pts, losses, grads
+
+    if batch.get("bg_color") is None:
+        batch = dict(batch, bg_color=jnp.ones(3, jnp.float32))
+    shard, rep = P("data"), P()
+    fn = _shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, shard, rep, shard, rep,
+                  rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, shard, rep, shard, rep, (rep, shard)),
+        check_vma=False)
+    params, scene, os_net, os_pts, losses, grads = fn(
+        st.params, st.scene, st.opt_state_net, st.opt_state_pts, st.step,
+        batch["campos"], batch["raydir"], batch["camrotc2w"],
+        jnp.asarray(batch["near"], jnp.float32),
+        jnp.asarray(batch["far"], jnp.float32), batch["bg_color"],
+        batch["gt_image"], key)
+    new_st = SpatialTrainState(params=params, scene=scene,
+                               opt_state_net=os_net, opt_state_pts=os_pts,
+                               step=st.step + 1)
+    if return_grads:
+        return new_st, losses, grads
+    return new_st, losses

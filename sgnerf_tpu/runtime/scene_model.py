@@ -91,6 +91,11 @@ class SceneModel:
         self.spec = None
         self.best_psnr = 0.0
         self.best_iter = 0
+        # spatially-sharded rendering (--scene_shards N, parallel/spatial.py)
+        self.sharded_scene = None
+        self.sspec = None
+        self.mesh = None
+        self._spatial_fns = {}
 
     # ------------------------------------------------------------- checkpoints
 
@@ -231,6 +236,28 @@ class SceneModel:
         if params is None or "block1" not in params:
             params = init_aggregator_params(jax.random.key(0), self.cfg.agg)
         self.state = create_train_state(params, cloud, self.tcfg)
+        self._setup_spatial(cloud)
+
+    def _setup_spatial(self, cloud):
+        """Slab-shard the scene over the device mesh when --scene_shards asks
+        for it (inference path only; parallel/spatial.py)."""
+        n = int(getattr(self.opt, "scene_shards", 0) or 0)
+        if n <= 1:
+            return
+        if len(jax.devices()) < n:
+            print(f"[scene_shards] {n} shards requested but only "
+                  f"{len(jax.devices())} devices; rendering replicated")
+            return
+        from ..parallel import (make_mesh, build_sharded_scene,
+                                shard_scene_put)
+        self.mesh = make_mesh(n)
+        scene, self.sspec = build_sharded_scene(cloud, self.spec, n)
+        self.sharded_scene = shard_scene_put(scene, self.mesh)
+        self._spatial_fns = {}
+        print(f"[scene_shards] scene sharded over {n} devices: "
+              f"{self.sspec.cap_pts} pts/shard (of {cloud.capacity}), "
+              f"{self.sspec.max_d_s} cache rows/shard "
+              f"(of {self.grid.nbr_packed.shape[0]})")
 
     def setup_from_points(self, xyz: np.ndarray, feats: Optional[np.ndarray],
                           labels: Optional[np.ndarray],
@@ -317,6 +344,7 @@ class SceneModel:
         st = create_train_state(params, cloud, self.tcfg)
         self.state = dataclasses.replace(st, step=step,
                                          opt_state_net=self.state.opt_state_net)
+        self._setup_spatial(cloud)
 
     # --------------------------------------------------------------- rendering
 
@@ -331,6 +359,8 @@ class SceneModel:
         batching dispatches amortizes it G-fold."""
         raydir = np.asarray(item["raydir"], np.float32)
         R = len(raydir)
+        if self.sharded_scene is not None:
+            return self._render_image_spatial(item, raydir, chunk_rays)
         G = max(1, int(chunks_per_dispatch))
         group = chunk_rays * G
         pad = (-R) % group
@@ -354,3 +384,36 @@ class SceneModel:
         col = np.concatenate([np.asarray(c).reshape(-1, 3)
                               for c in cols])[:R]
         return col
+
+    def _render_image_spatial(self, item, raydir, chunk_rays):
+        """Chunked full-frame render over the slab-sharded scene."""
+        from ..parallel import render_rays_spatial
+        import functools
+
+        if chunk_rays not in self._spatial_fns:
+            cfg, sspec, mesh = self.cfg, self.sspec, self.mesh
+
+            @jax.jit
+            def go(params, scene, campos, rd, rot, near, far, bg):
+                out = render_rays_spatial(
+                    params, scene, sspec, cfg, mesh, campos=campos,
+                    raydir=rd, camrotc2w=rot, near=near, far=far,
+                    bg_color=bg)
+                return out["coarse_raycolor"][0]
+            self._spatial_fns[chunk_rays] = go
+        go = self._spatial_fns[chunk_rays]
+
+        R = len(raydir)
+        pad = (-R) % chunk_rays
+        raydir_p = np.concatenate(
+            [raydir, np.zeros((pad, 3), np.float32)]) if pad else raydir
+        campos = jnp.asarray(item["campos"][None])
+        rot = jnp.asarray(item["camrotc2w"][None])
+        near = float(item["near"])
+        far = float(item["far"])
+        bg = jnp.asarray(item["bg_color"])
+        cols = [go(self.state.params, self.sharded_scene, campos,
+                   jnp.asarray(raydir_p[s:s + chunk_rays][None]), rot,
+                   near, far, bg)
+                for s in range(0, len(raydir_p), chunk_rays)]
+        return np.concatenate([np.asarray(c) for c in cols])[:R]

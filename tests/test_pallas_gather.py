@@ -43,3 +43,4 @@ def test_gather_vjp_matches_xla_gather_vjp():
     _, vjp_x = jax.vjp(lambda t: t[idx], table)
     np.testing.assert_allclose(np.asarray(vjp_p(g)[0]),
                                np.asarray(vjp_x(g)[0]), rtol=1e-6, atol=1e-6)
+

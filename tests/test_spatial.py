@@ -89,3 +89,86 @@ def test_shard_tables_are_smaller(scene):
     hi = np.clip(np.asarray(sharded.own_hi), lo, X)
     assert lo[0] == 0 and hi.max() == X
     assert (hi - lo).sum() == X  # disjoint cover: widths sum to X
+
+
+def test_spatial_train_step_matches_replicated(scene):
+    """One sharded training step must reproduce the replicated train_step:
+    identical losses, matching updated MLP params, and matching updated
+    point attributes on BOTH copies of every halo-duplicated point."""
+    import dataclasses
+    import jax
+    from sgnerf_tpu.models.train import (TrainConfig, create_train_state,
+                                         train_step)
+    from sgnerf_tpu.parallel.spatial import (create_spatial_train_state,
+                                             spatial_train_step)
+
+    cloud, spec, grid, cfg, params = scene
+    tcfg = TrainConfig()
+    campos, raydir, rot = _rays(128, seed=21)
+    rng = np.random.default_rng(7)
+    batch = {
+        "campos": campos, "raydir": raydir, "camrotc2w": rot,
+        "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0, 1, size=(1, 128, 3)).astype(np.float32)),
+    }
+    key = jax.random.key(4)
+
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+    sst = create_spatial_train_state(params, sharded, tcfg)
+    sst, slosses, (sg_net, sg_pts) = spatial_train_step(
+        sst, sspec, cfg, tcfg, batch, key, mesh, return_grads=True)
+
+    # replicated reference gradients (the same loss_fn train_step uses)
+    from sgnerf_tpu.models.losses import compute_losses
+    from sgnerf_tpu.models.renderer import render_rays
+    from sgnerf_tpu.models.train import _point_subtree, _with_points
+
+    def loss_fn(p, pts):
+        pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
+               for k, v in pts.items()}
+        out = render_rays(p, _with_points(cloud, pts), grid, cfg,
+                          campos=batch["campos"], raydir=batch["raydir"],
+                          camrotc2w=batch["camrotc2w"], near=batch["near"],
+                          far=batch["far"], bg_color=batch["bg_color"],
+                          key=key, is_train=True)
+        total, losses = compute_losses(
+            out, batch["gt_image"],
+            color_loss_items=tcfg.color_loss_items,
+            color_loss_weights=tcfg.color_loss_weights,
+            zero_one_loss_items=tcfg.zero_one_loss_items,
+            zero_one_loss_weights=tcfg.zero_one_loss_weights,
+            sparse_loss_weight=tcfg.sparse_loss_weight,
+            zero_epsilon=tcfg.zero_epsilon)
+        return total, losses
+
+    (rtotal, rlosses), (rg_net, rg_pts) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, _point_subtree(cloud))
+
+    # identical losses
+    assert abs(float(slosses["total"]) - float(rtotal)) < 1e-5
+
+    # param grads: psum over shards == full-scene backward
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3),
+        sg_net, rg_net)
+
+    # per-point grads: every local row (incl. BOTH copies of halo points)
+    # carries the synced total == the replicated gradient of its point.
+    # (Post-Adam params are NOT comparable: at step 1 the update is
+    # lr*sign(grad), so fp-noise-level grad differences flip near-zero
+    # elements.)
+    gids = np.asarray(sst.scene.gid)
+    ref = np.asarray(rg_pts["embedding"])
+    got_all = np.asarray(sg_pts["embedding"])
+    for i in range(gids.shape[0]):
+        valid = gids[i] < cloud.capacity
+        np.testing.assert_allclose(got_all[i][valid], ref[gids[i][valid]],
+                                   atol=1e-5, rtol=1e-3)
+    # halo duplicates exist (the sync is actually exercised)
+    flat = np.concatenate([g[g < cloud.capacity] for g in gids])
+    assert len(flat) > len(np.unique(flat))
