@@ -89,6 +89,10 @@ def render_probe_maps(model, item, chunk_rays: int = 2304,
 
 def probe_and_grow(model, dataset, opt, key, opacity_thresh: float = 0.7):
     """Select probe frames, harvest hole points, grow the cloud."""
+    if getattr(model, "_spatial_tstate", None) is not None:
+        # probe rendering runs on the replicated cloud/grid: fold trained
+        # shard attributes back first (grow_points re-shards afterwards)
+        model._sync_from_spatial()
     rng = np.random.default_rng(np.asarray(
         jax.random.key_data(key)).ravel()[-1])
     grid, exhausted = probe_grid_for_step(model, opt,

@@ -91,11 +91,12 @@ class SceneModel:
         self.spec = None
         self.best_psnr = 0.0
         self.best_iter = 0
-        # spatially-sharded rendering (--scene_shards N, parallel/spatial.py)
+        # spatially-sharded execution (--scene_shards N, parallel/spatial.py)
         self.sharded_scene = None
         self.sspec = None
         self.mesh = None
         self._spatial_fns = {}
+        self._spatial_tstate = None  # lazy; created on first optimize()
 
     # ------------------------------------------------------------- checkpoints
 
@@ -183,6 +184,7 @@ class SceneModel:
               f"{int(self.state.cloud.n_active)} points)")
 
     def save_checkpoint(self, it, best: bool = False):
+        self._sync_from_spatial()
         tag = "best" if best else str(it)
         st = self.state
         tree = {
@@ -197,6 +199,7 @@ class SceneModel:
 
     def export_reference(self, it):
         """Also write a reference-format .pth for external tooling."""
+        self._sync_from_spatial()
         st = self.state
         act = np.asarray(st.cloud.active)
         pts = {
@@ -254,6 +257,8 @@ class SceneModel:
         scene, self.sspec = build_sharded_scene(cloud, self.spec, n)
         self.sharded_scene = shard_scene_put(scene, self.mesh)
         self._spatial_fns = {}
+        self._spatial_tstate = None  # re-shard resets per-point opt state
+        #                              (topology changed, like _rebuild)
         print(f"[scene_shards] scene sharded over {n} devices: "
               f"{self.sspec.cap_pts} pts/shard (of {cloud.capacity}), "
               f"{self.sspec.max_d_s} cache rows/shard "
@@ -305,17 +310,61 @@ class SceneModel:
     # ---------------------------------------------------------------- training
 
     def optimize(self, batch: Dict, key) -> Dict[str, float]:
+        if self.sharded_scene is not None:
+            return self._optimize_spatial(batch, key)
         self.state, losses = train_step(
             self.state, self.grid, self.cfg, self.tcfg, batch, key)
         return losses
 
+    def _optimize_spatial(self, batch: Dict, key) -> Dict[str, float]:
+        """Training step over the slab-sharded scene (parallel/spatial.py).
+        MLP params + per-point attributes train in place on the shards;
+        save/test/prune/grow sync back via _sync_from_spatial."""
+        from ..parallel.spatial import (create_spatial_train_state,
+                                        spatial_train_step)
+        assert not self.cfg.semantic_guidance, (
+            "--scene_shards training does not support semantic guidance yet")
+        if self._spatial_tstate is None:
+            st = create_spatial_train_state(
+                self.state.params, self.sharded_scene, self.tcfg)
+            self._spatial_tstate = dataclasses.replace(
+                st, step=self.state.step)
+        self._spatial_tstate, losses = spatial_train_step(
+            self._spatial_tstate, self.sspec, self.cfg, self.tcfg, batch,
+            key, self.mesh)
+        return losses
+
+    def _sync_from_spatial(self):
+        """Fold trained shard attributes + params back into the replicated
+        state (owner rows win; halo copies are identical by construction)
+        and refresh the render-path scene."""
+        st = self._spatial_tstate
+        if st is None:
+            return
+        gids = np.asarray(st.scene.gid)
+        cap = self.state.cloud.capacity
+        fields = {}
+        for f in ("embedding", "conf", "color", "dir", "xyz"):
+            glob = np.asarray(getattr(self.state.cloud, f)).copy()
+            stacked = np.asarray(getattr(st.scene.cloud, f))
+            for i in range(gids.shape[0]):
+                valid = gids[i] < cap
+                glob[gids[i][valid]] = stacked[i][valid]
+            fields[f] = jnp.asarray(glob)
+        cloud = dataclasses.replace(self.state.cloud, **fields)
+        self.state = dataclasses.replace(
+            self.state, params=st.params, cloud=cloud, step=st.step)
+        self.sharded_scene = st.scene  # render with the trained attributes
+
     def prune_points(self, thresh: float):
+        self._sync_from_spatial()
         cloud = prune_cloud(self.state.cloud, thresh)
         print(f"prune: {int(self.state.cloud.n_active)} -> "
               f"{int(cloud.n_active)} points")
         self._rebuild(cloud)
 
     def grow_points(self, new_xyz, new_embedding, new_conf, new_color, new_dir):
+        self._sync_from_spatial()
         need = int(self.state.cloud.n_active) + len(new_xyz)
         cloud = self.state.cloud
         if need > cloud.capacity:
@@ -412,7 +461,11 @@ class SceneModel:
         near = float(item["near"])
         far = float(item["far"])
         bg = jnp.asarray(item["bg_color"])
-        cols = [go(self.state.params, self.sharded_scene, campos,
+        params = (self._spatial_tstate.params
+                  if self._spatial_tstate is not None else self.state.params)
+        scene = (self._spatial_tstate.scene
+                 if self._spatial_tstate is not None else self.sharded_scene)
+        cols = [go(params, scene, campos,
                    jnp.asarray(raydir_p[s:s + chunk_rays][None]), rot,
                    near, far, bg)
                 for s in range(0, len(raydir_p), chunk_rays)]

@@ -172,3 +172,70 @@ def test_spatial_train_step_matches_replicated(scene):
     # halo duplicates exist (the sync is actually exercised)
     flat = np.concatenate([g[g < cloud.capacity] for g in gids])
     assert len(flat) > len(np.unique(flat))
+
+
+@pytest.mark.slow
+def test_scene_model_spatial_training_wiring(tmp_path):
+    """SceneModel with --scene_shards: optimize() routes through
+    spatial_train_step, losses decrease, and _sync_from_spatial folds the
+    trained shard attributes back for checkpointing."""
+    import types
+    import jax
+    from sgnerf_tpu.runtime.scene_model import SceneModel
+    from sgnerf_tpu.options.options import TrainOptions
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+
+    opt = TrainOptions().parse([
+        "--name", "sp", "--checkpoints_dir", str(tmp_path),
+        "--scene_shards", "8",
+        "--z_depth_dim", "24", "--SR", "4", "--K", "4", "--P", "8",
+        "--max_o", "8192", "--vsize", "0.08", "0.08", "0.08",
+        "--vscale", "2", "2", "2", "--kernel_size", "3", "3", "3",
+        "--radius_limit_scale", "4", "--agg_dist_pers", "20",
+        "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+        "--point_features_dim", "32", "--num_feat_freqs", "3",
+        "--dist_xyz_freq", "5", "--num_viewdir_freqs", "4",
+        "--act_type", "LeakyReLU", "--shading_color_mlp_layer", "4",
+        "--shading_feature_mlp_layer1", "2",
+        "--which_ray_generation", "near_far_linear",
+        "--which_render_func", "radiance", "--which_blend_func", "alpha",
+        "--which_tonemap_func", "off", "--raydist_mode_unit", "1",
+        "--color_loss_items", "ray_masked_coarse_raycolor",
+        "--color_loss_weights", "1.0",
+        "--ranges", "-3", "-3", "-3", "3", "3", "3",
+        "--lr", "0.002", "--plr", "0.01",
+    ])
+    model = SceneModel(opt)
+    model.setup_from_points(xyz, None, None)
+    assert model.sharded_scene is not None
+
+    d = (rng.normal(size=(1, 64, 3)) * 0.25).astype(np.float32)
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+        "raydir": jnp.asarray(d),
+        "camrotc2w": jnp.eye(3, dtype=np.float32)[None],
+        "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0, 1, (1, 64, 3)).astype(np.float32)),
+    }
+    key = jax.random.key(0)
+    losses = []
+    for i in range(6):
+        key, k = jax.random.split(key)
+        losses.append(float(model.optimize(batch, k)["total"]))
+    assert model._spatial_tstate is not None
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])  # it trains
+
+    before = np.asarray(model.state.cloud.embedding).copy()
+    model.save_checkpoint(6)
+    after = np.asarray(model.state.cloud.embedding)
+    assert not np.allclose(before, after)  # sync folded trained attrs back
+    import os
+    assert os.path.exists(str(tmp_path / "sp" / "6_net_ray_marching.npz"))
