@@ -259,10 +259,12 @@ _merge.defvjp(_merge_fwd, _merge_bwd)
 
 
 def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
-                 sample_loc_w, smask):
+                 sample_loc_w, smask, sample_label=None, points_label=None,
+                 points_label_prob=None, key=None,
+                 semantic_guidance=False):
     """Per-shard neighbor query: cache lookup restricted to OWNED shading
     points (mirrors ops/query.query_neighbors' cache path on slab-local
-    tables)."""
+    tables, including the semantic-guidance predicate)."""
     (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi) = scene_slice
     gspec, lspec = sspec.gspec, sspec.lspec
     B, R, SR, _ = sample_loc_w.shape
@@ -288,6 +290,28 @@ def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
 
     radius2 = jnp.asarray(cfg.radius_limit, d2.dtype) ** 2
     ok = cand_ok & jnp.where(radius2 > 0, d2 <= radius2, True)
+
+    if semantic_guidance:
+        # reference predicate (query_point_indices_worldcoords.py:548-556),
+        # identical to ops/query.query_neighbors' branch but over the
+        # LOCAL candidate ids
+        Np = points_label.shape[0]
+        center_label = sample_label[..., None]
+        cidx = jnp.clip(cand, 0, Np - 1)
+        label_v = points_label[cidx].astype(jnp.int32)
+        C = points_label_prob.shape[-1]
+        prob_v = jnp.take_along_axis(
+            points_label_prob[cidx],
+            jnp.clip(label_v, 0, C - 1)[..., None], axis=-1)[..., 0]
+        label_prob_i = (prob_v * 10.0).astype(jnp.int32)
+        p_acc = jnp.clip(2 - label_prob_i, 0, 10).astype(d2.dtype) / 10.0
+        if key is None:
+            stochastic = p_acc >= 1.0
+        else:
+            stochastic = jax.random.uniform(key, d2.shape) < p_acc
+        ok = ok & ((center_label == label_v) | (label_v == 0)
+                   | (center_label == 0) | stochastic)
+
     big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
     d2m = jnp.where(ok, d2, big)
     neg_top, top_idx = jax.lax.top_k(-d2m, cfg.K)
@@ -300,18 +324,26 @@ def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
 def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
                    own_lo, own_hi, sspec: SpatialSpec, cfg: RenderConfig,
                    campos, raydir, camrotc2w, near, far, bg_color,
-                   key=None, is_train=False) -> Dict[str, jnp.ndarray]:
+                   key=None, is_train=False,
+                   pixel_label=None) -> Dict[str, jnp.ndarray]:
     """Per-shard forward pass (runs INSIDE shard_map; all scene operands are
     this shard's slices). Outputs are replicated (post-psum) and match
-    render_rays on the equivalent un-sharded scene."""
+    render_rays on the equivalent un-sharded scene. The key is split
+    exactly like render_rays (raygen jitter / semantic draws); NOTE the
+    semantic Bernoulli draws index LOCAL candidate slots, so with a key the
+    accepted neighbor sets are statistically but not bitwise identical to
+    the replicated path (deterministic with key=None)."""
     gspec = sspec.gspec
     B, R, _ = raydir.shape
 
+    kj = ks = None
+    if key is not None:
+        kj, ks = jax.random.split(key)
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim, near=near,
                              far=far,
                              jitter=cfg.jitter if is_train else 0.0,
-                             key=key, domain_size=cfg.domain_size)
+                             key=kj, domain_size=cfg.domain_size)
 
     # (1) slab-local hit mask -> psum union -> identical compaction
     c = voxel_coords(raypos, gspec)
@@ -330,9 +362,19 @@ def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
     sample_loc_w = jnp.where(smask[..., None], loc, 0.0)
 
     # (2) owned-slab query + gather + per-neighbor MLPs
+    use_sem = bool(cfg.semantic_guidance) and is_train \
+        and pixel_label is not None
+    sample_label = None
+    if use_sem:
+        sample_label = jnp.where(
+            smask, pixel_label[..., None].astype(jnp.int32), 0)
     sample_pidx, own = _local_query(
         (occ_mask, dil_slot, nbr_packed, x_off, own_lo, own_hi),
-        sspec, cfg, sample_loc_w, smask)
+        sspec, cfg, sample_loc_w, smask,
+        sample_label=sample_label,
+        points_label=cloud.label if use_sem else None,
+        points_label_prob=cloud.label_prob if use_sem else None,
+        key=ks, semantic_guidance=use_sem)
     (decoded, ray_valid, weight, conf_coefficient, sample_loc,
      _) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
                                sample_loc_w, campos, raydir, camrotc2w)
@@ -376,32 +418,39 @@ def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
 def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
                         sspec: SpatialSpec, cfg: RenderConfig, mesh: Mesh, *,
                         campos, raydir, camrotc2w, near, far,
-                        bg_color: Optional[jnp.ndarray] = None
-                        ) -> Dict[str, jnp.ndarray]:
+                        bg_color: Optional[jnp.ndarray] = None,
+                        pixel_label: Optional[jnp.ndarray] = None,
+                        key: Optional[jax.Array] = None,
+                        is_train: bool = False) -> Dict[str, jnp.ndarray]:
     """Render over the slab-sharded scene; outputs replicate on every chip
-    and match render_rays on the equivalent un-sharded scene."""
+    and match render_rays on the equivalent un-sharded scene (semantic
+    guidance included when pixel_label is given and cfg asks for it)."""
 
     def body(params, cloud, occ_mask, dil_slot, nbr_packed, x_off, own_lo,
-             own_hi, campos, raydir, camrotc2w, near, far, bg_color):
+             own_hi, campos, raydir, camrotc2w, near, far, bg_color,
+             pixel_label):
         cloud = jax.tree.map(lambda a: a[0], cloud)  # strip the shard axis
         return _forward_local(
             params, cloud, occ_mask[0], dil_slot[0], nbr_packed[0],
             x_off[0], own_lo[0], own_hi[0], sspec, cfg, campos, raydir,
-            camrotc2w, near, far, bg_color)
+            camrotc2w, near, far, bg_color, key=key, is_train=is_train,
+            pixel_label=pixel_label)
 
     if bg_color is None:
         bg_color = jnp.ones(3, jnp.float32)
+    if pixel_label is None:
+        pixel_label = jnp.zeros(raydir.shape[:2], jnp.int32)
     shard = P("data")
     rep = P()
     fn = _shard_map(
         body, mesh=mesh,
         in_specs=(rep, shard, shard, shard, shard, shard, shard, shard,
-                  rep, rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep, rep),
         out_specs=rep, check_vma=False)
     return fn(params, scene.cloud, scene.occ_mask, scene.dil_slot,
               scene.nbr_packed, scene.x_off, scene.own_lo, scene.own_hi,
               campos, raydir, camrotc2w, jnp.asarray(near, jnp.float32),
-              jnp.asarray(far, jnp.float32), bg_color)
+              jnp.asarray(far, jnp.float32), bg_color, pixel_label)
 
 
 # --------------------------------------------------------------- training
@@ -463,11 +512,10 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
     net_tx, pts_tx = make_optimizers(tcfg)
 
     def body(params, scene, opt_net, opt_pts, step, campos, raydir,
-             camrotc2w, near, far, bg_color, gt_image, key):
+             camrotc2w, near, far, bg_color, gt_image, pixel_label, key):
         cloud = jax.tree.map(lambda a: a[0], scene.cloud)
         opt_pts = jax.tree.map(lambda a: a[0], opt_pts)
         gid = scene.gid[0]
-        kj = jax.random.split(key)[0]  # mirrors render_rays' key split
 
         def loss_fn(params, pts):
             pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
@@ -477,7 +525,8 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
                 params, lcloud, scene.occ_mask[0], scene.dil_slot[0],
                 scene.nbr_packed[0], scene.x_off[0], scene.own_lo[0],
                 scene.own_hi[0], sspec, cfg, campos, raydir, camrotc2w,
-                near, far, bg_color, key=kj, is_train=True)
+                near, far, bg_color, key=key, is_train=True,
+                pixel_label=pixel_label)
             total, losses = compute_losses(
                 out, gt_image,
                 color_loss_items=tcfg.color_loss_items,
@@ -535,10 +584,15 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
     if batch.get("bg_color") is None:
         batch = dict(batch, bg_color=jnp.ones(3, jnp.float32))
     shard, rep = P("data"), P()
+    pixel_label = batch.get("pixel_label")
+    if pixel_label is None:
+        pixel_label = jnp.zeros(batch["raydir"].shape[:2], jnp.int32)
+        if cfg.semantic_guidance:
+            raise ValueError("semantic_guidance training needs pixel_label")
     fn = _shard_map(
         body, mesh=mesh,
         in_specs=(rep, shard, rep, shard, rep,
-                  rep, rep, rep, rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=(rep, shard, rep, shard, rep, (rep, shard)),
         check_vma=False)
     params, scene, os_net, os_pts, losses, grads = fn(
@@ -546,7 +600,7 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
         batch["campos"], batch["raydir"], batch["camrotc2w"],
         jnp.asarray(batch["near"], jnp.float32),
         jnp.asarray(batch["far"], jnp.float32), batch["bg_color"],
-        batch["gt_image"], key)
+        batch["gt_image"], pixel_label, key)
     new_st = SpatialTrainState(params=params, scene=scene,
                                opt_state_net=os_net, opt_state_pts=os_pts,
                                step=st.step + 1)

@@ -322,8 +322,6 @@ class SceneModel:
         save/test/prune/grow sync back via _sync_from_spatial."""
         from ..parallel.spatial import (create_spatial_train_state,
                                         spatial_train_step)
-        assert not self.cfg.semantic_guidance, (
-            "--scene_shards training does not support semantic guidance yet")
         if self._spatial_tstate is None:
             st = create_spatial_train_state(
                 self.state.params, self.sharded_scene, self.tcfg)
@@ -355,6 +353,38 @@ class SceneModel:
         self.state = dataclasses.replace(
             self.state, params=st.params, cloud=cloud, step=st.step)
         self.sharded_scene = st.scene  # render with the trained attributes
+
+    def push_semantics_to_shards(self):
+        """Propagate refreshed BPNet outputs (label / label_prob /
+        sem_embedding, set on the replicated cloud by SemanticDriver) into
+        every shard's local rows (halo copies included) via the
+        local->global id maps."""
+        if self.sharded_scene is None:
+            return
+        from ..parallel.spatial import shard_scene_put
+        gids = np.asarray(self.sharded_scene.gid)
+        cap = self.state.cloud.capacity
+        updates = {}
+        for f in ("label", "label_prob", "sem_embedding"):
+            glob = np.asarray(getattr(self.state.cloud, f))
+            stacked = np.asarray(
+                getattr(self.sharded_scene.cloud, f)).copy()
+            for i in range(gids.shape[0]):
+                valid = gids[i] < cap
+                stacked[i][valid] = glob[gids[i][valid]]
+            updates[f] = jnp.asarray(stacked)
+        new_cloud = dataclasses.replace(self.sharded_scene.cloud, **updates)
+        self.sharded_scene = shard_scene_put(
+            dataclasses.replace(self.sharded_scene, cloud=new_cloud),
+            self.mesh)
+        if self._spatial_tstate is not None:
+            st_cloud = dataclasses.replace(
+                self._spatial_tstate.scene.cloud, **{
+                    k: self.sharded_scene.cloud.__getattribute__(k)
+                    for k in updates})
+            self._spatial_tstate = dataclasses.replace(
+                self._spatial_tstate, scene=dataclasses.replace(
+                    self._spatial_tstate.scene, cloud=st_cloud))
 
     def prune_points(self, thresh: float):
         self._sync_from_spatial()

@@ -58,6 +58,10 @@ class SemanticDriver:
                 cloud=set_bpnet_feats(
                     model.state.cloud, jnp.asarray(probs),
                     jnp.asarray(labels), jnp.asarray(point_feat)))
+            if getattr(model, "push_semantics_to_shards", None):
+                # slab-sharded scenes: mirror the refreshed semantics into
+                # every shard's local rows (parallel/spatial.py)
+                model.push_semantics_to_shards()
         self._step += 1
 
     def pixel_labels_for(self, item) -> Optional[np.ndarray]:

@@ -239,3 +239,49 @@ def test_scene_model_spatial_training_wiring(tmp_path):
     assert not np.allclose(before, after)  # sync folded trained attrs back
     import os
     assert os.path.exists(str(tmp_path / "sp" / "6_net_ray_marching.npz"))
+
+
+def test_spatial_semantic_guidance_matches_replicated(scene):
+    """Semantic-guided query over the slab decomposition == replicated
+    (deterministic predicate with key=None; with a key only the Bernoulli
+    draws differ)."""
+    import dataclasses
+    cloud, spec, grid, cfg, params = scene
+    rng = np.random.default_rng(13)
+    n = cloud.capacity
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    probs = rng.dirichlet(np.ones(20), n).astype(np.float32)
+    sem = (rng.normal(size=(n, 96)) * 0.05).astype(np.float32)
+    cloud = dataclasses.replace(
+        cloud, label=jnp.asarray(labels), label_prob=jnp.asarray(probs),
+        sem_embedding=jnp.asarray(sem))
+    scfg = dataclasses.replace(cfg, semantic_guidance=1, jitter=0.0)
+
+    campos, raydir, rot = _rays(128, seed=31)
+    pixel_label = jnp.asarray(
+        rng.integers(0, 5, (1, 128)).astype(np.int32))
+    bg = jnp.ones(3)
+
+    ref = render_rays(params, cloud, grid, scfg, campos=campos,
+                      raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=bg, pixel_label=pixel_label, is_train=True)
+
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+    out = render_rays_spatial(params, sharded, sspec, scfg, mesh,
+                              campos=campos, raydir=raydir, camrotc2w=rot,
+                              near=1.0, far=5.0, bg_color=bg,
+                              pixel_label=pixel_label, is_train=True)
+
+    np.testing.assert_array_equal(np.asarray(out["ray_mask"]),
+                                  np.asarray(ref["ray_mask"]))
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=2e-5, rtol=1e-4)
+    # guidance actually changes the result vs the unguided render
+    plain = render_rays(params, cloud, grid, cfg, campos=campos,
+                        raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                        bg_color=bg)
+    assert np.abs(np.asarray(ref["coarse_raycolor"])
+                  - np.asarray(plain["coarse_raycolor"])).max() > 1e-4
