@@ -57,7 +57,11 @@ def main():
     # bf16 attribute gather: +41% over f32 (223 vs 316 ms at R=9216),
     # >40 dB agreement with the f32 render on a trained scene
     # (tests/test_convergence.py, PERFORMANCE.md)
-    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=400, SR=24, K=8,
+    # bf16 MLP matmuls (f32 accumulation): +1.7% on top of the bf16
+    # gather (62.8k vs 61.8k); a deeper bf16 (feature buffers too) is
+    # SLOWER — see PERFORMANCE.md
+    cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16"),
+                       z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008, 0.008, 0.008),
                        gather_dtype="bfloat16")
     params = init_aggregator_params(jax.random.key(0), cfg.agg)

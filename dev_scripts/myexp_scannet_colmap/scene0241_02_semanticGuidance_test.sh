@@ -30,7 +30,7 @@ python run/test_ft.py \
   --which_ray_generation near_far_linear \
   --which_tonemap_func off --which_render_func radiance \
   --which_blend_func alpha \
-  --gather_dtype bfloat16 --cache_dtype bfloat16 \
+  --gather_dtype bfloat16 --cache_dtype bfloat16 --compute_dtype bfloat16 \
   --bg_color white --img_wh 640 480 --train_step 5
 # bf16 gathers: +44% inference throughput, 50 dB agreement with f32 on a
 # trained scene (PERFORMANCE.md); drop the two flags for bit-exact f32.

@@ -162,6 +162,11 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # it XLA duplicates the (1.8M-row) gather into each downstream slice's
     # fusion (measured: stage-4 marginal 58 ms vs 15 ms for the same math
     # on pre-materialized inputs, probe_shading.py)
+    # NOTE a "deep bf16" variant (keep the gathered features bf16 through
+    # the PE/concat assembly and inter-layer activations) measured SLOWER
+    # than f32 buffers + bf16 matmuls (59.8k vs 62.8k rays/s): bf16 arrays
+    # tile as (16,128) and the relayouts cost more than the halved HBM
+    # traffic saves. Compute stays f32 outside the matmuls.
     g = jax.lax.optimization_barrier(packed[pid]).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
@@ -170,10 +175,12 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     sampled_conf = g[..., 9 + F:10 + F]
     sampled_sem = g[..., 10 + F:] if cfg.semantic_guidance else None
 
-    # zero out padding gathers so masked rows stay finite
-    m = sample_pnt_mask[..., None].astype(sampled_xyz.dtype)
-    sampled_xyz = sampled_xyz * m
-    sampled_embedding = sampled_embedding * m
+    # zero out padding gathers so masked rows stay finite (each in its own
+    # dtype: a f32 mask would promote the bf16 embedding path back to f32)
+    sampled_xyz = sampled_xyz * sample_pnt_mask[..., None].astype(
+        sampled_xyz.dtype)
+    sampled_embedding = sampled_embedding * sample_pnt_mask[..., None].astype(
+        sampled_embedding.dtype)
 
     # perspective coords per batch camera (vmapped over B)
     pers = jax.vmap(w2pers)(

@@ -119,3 +119,18 @@ def test_training_converges_on_consistent_scene():
     agree = psnr(img16, img)
     print(f"bf16-gather vs f32 render agreement: {agree:.2f} dB")
     assert agree > 40.0, agree
+
+    # full bf16 inference (gather + feature assembly + MLP matmuls): the
+    # deep-bf16 path keeps the per-neighbor features bf16 end to end
+    cfg16f = dataclasses.replace(
+        cfg, gather_dtype="bfloat16",
+        agg=dataclasses.replace(cfg.agg, compute_dtype="bfloat16"))
+    outf = render_rays(state.params, state.cloud, grid, cfg16f,
+                       campos=jnp.asarray(v[0][None]),
+                       raydir=jnp.asarray(v[2][None]),
+                       camrotc2w=jnp.asarray(v[1][None]),
+                       near=1.0, far=4.5, bg_color=jnp.ones(3))
+    imgf = np.asarray(outf["coarse_raycolor"][0]).reshape(H, W, 3)
+    agree_f = psnr(imgf, img)
+    print(f"deep-bf16 vs f32 render agreement: {agree_f:.2f} dB")
+    assert agree_f > 30.0, agree_f
