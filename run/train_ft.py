@@ -159,32 +159,60 @@ def main():
     t_start = time.time()
     prefetcher = (ItemPrefetcher(dataset, rng, n_threads=opt.n_threads)
                   if semantic is None and opt.n_threads > 0 else None)
-    while total_steps < maximum_step:
-        if prefetcher is not None:
-            item = prefetcher.next()
-        else:
-            idx = int(rng.integers(0, len(dataset)))
-            item = dataset.get_item(idx, rng=rng)
-        if semantic is not None:
-            semantic.maybe_refresh(model, dataset, item)
-            pl = semantic.pixel_labels_for(item)
-            if pl is not None:
-                item["pixel_label"] = pl
-        if opt.profile_dir and total_steps == opt.profile_start:
-            jax.profiler.start_trace(opt.profile_dir)
-        batch = make_batch(item)
-        key, k = jax.random.split(key)
-        losses = model.optimize(batch, k)
-        # host-side step mirror: int(model.state.step) would block on the
-        # async dispatch every iteration, serializing the fixed dispatch
-        # latency into the step time
-        total_steps += 1
-        if opt.profile_dir and \
-                total_steps == opt.profile_start + opt.profile_steps:
-            jax.profiler.stop_trace()
-            print(f"profiler trace written to {opt.profile_dir}")
 
-        visualizer.accumulate_losses(losses)
+    # group size for multi-step dispatch (train_step_multi): fixed host
+    # enqueue cost amortizes G-fold; forced to 1 by per-step host work
+    # (semantic refresh, profiling) and around scheduled-event boundaries
+    G_max = max(1, int(getattr(opt, "steps_per_dispatch", 1)))
+    if semantic is not None or opt.profile_dir \
+            or model.sharded_scene is not None:
+        G_max = 1
+
+    def _next_event(step):
+        nxt = maximum_step
+        for freq in (opt.print_freq, opt.save_iter_freq, opt.save_point_freq,
+                     opt.prune_iter, opt.prob_freq, opt.test_freq):
+            if freq and freq > 0:
+                nxt = min(nxt, (step // freq + 1) * freq)
+        return nxt
+
+    def _get_item():
+        if prefetcher is not None:
+            return prefetcher.next()
+        return dataset.get_item(int(rng.integers(0, len(dataset))), rng=rng)
+
+    while total_steps < maximum_step:
+        G = min(G_max, _next_event(total_steps) - total_steps) \
+            if G_max > 1 else 1
+        if G > 1:
+            items = [_get_item() for _ in range(G)]
+            key, *ks = jax.random.split(key, G + 1)
+            loss_list = model.optimize_multi(
+                [make_batch(it) for it in items], jax.numpy.stack(ks))
+            total_steps += G
+            for l in loss_list:
+                visualizer.accumulate_losses(l)
+        else:
+            item = _get_item()
+            if semantic is not None:
+                semantic.maybe_refresh(model, dataset, item)
+                pl = semantic.pixel_labels_for(item)
+                if pl is not None:
+                    item["pixel_label"] = pl
+            if opt.profile_dir and total_steps == opt.profile_start:
+                jax.profiler.start_trace(opt.profile_dir)
+            batch = make_batch(item)
+            key, k = jax.random.split(key)
+            losses = model.optimize(batch, k)
+            # host-side step mirror: int(model.state.step) would block on
+            # the async dispatch every iteration, serializing the fixed
+            # dispatch latency into the step time
+            total_steps += 1
+            if opt.profile_dir and \
+                    total_steps == opt.profile_start + opt.profile_steps:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {opt.profile_dir}")
+            visualizer.accumulate_losses(losses)
         if total_steps % opt.print_freq == 0:
             visualizer.print_losses(total_steps)
             visualizer.reset()

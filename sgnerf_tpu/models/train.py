@@ -117,15 +117,9 @@ def create_train_state(params, cloud, tcfg: TrainConfig) -> TrainState:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
-def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
-               tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step.
-
-    batch: campos (B,3), raydir (B,R,3), camrotc2w (B,3,3), gt_image (B,R,3),
-    near/far scalars, bg_color (3,), optional pixel_label (B,R).
-    """
+def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
+                     tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+                     key: jax.Array):
     net_tx, pts_tx = make_optimizers(tcfg)
 
     def loss_fn(params, pts):
@@ -180,3 +174,36 @@ def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
         step=state.step + 1,
     )
     return new_state, losses
+
+
+@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
+               tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step.
+
+    batch: campos (B,3), raydir (B,R,3), camrotc2w (B,3,3), gt_image (B,R,3),
+    near/far scalars, bg_color (3,), optional pixel_label (B,R).
+    """
+    return _train_step_impl(state, grid, cfg, tcfg, batch, key)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def train_step_multi(state: TrainState, grid: PointGrid, cfg: RenderConfig,
+                     tcfg: TrainConfig, batches: Dict[str, jnp.ndarray],
+                     keys: jax.Array):
+    """G optimization steps in ONE dispatch (lax.scan over stacked
+    batches). ~27 ms of every dispatch is host-side enqueue through the
+    remote tunnel that pipelining does not hide (PERFORMANCE.md); at
+    66-93 ms/step that is a ~30% tax which batching amortizes G-fold.
+    Semantics are EXACTLY G sequential train_step calls (asserted in
+    tests/test_train.py).
+
+    batches: every leaf of the per-step batch stacked on a leading G axis;
+    keys: (G,) PRNG keys. Returns (state, losses with leading G axis).
+    """
+    def body(st, xs):
+        batch, key = xs
+        st, losses = _train_step_impl(st, grid, cfg, tcfg, batch, key)
+        return st, losses
+    return jax.lax.scan(body, state, (batches, keys))

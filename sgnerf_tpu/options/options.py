@@ -151,6 +151,10 @@ _F = [
     ("profile_steps", int, 10, None),
     ("cache_dtype", str, "float32", None),
     ("bpnet_dtype", str, "float32", None),
+    # batch G training steps into one jitted dispatch (lax.scan) to
+    # amortize the fixed host-side enqueue cost (PERFORMANCE.md); exact
+    # same math as G sequential steps
+    ("steps_per_dispatch", int, 1, None),
     # spatially-sharded scene rendering (parallel/spatial.py): decompose the
     # point cloud + grid + neighborhood cache into N X-axis voxel slabs over
     # N devices (scene memory ~1/N per chip). 0 = replicated. Inference only.

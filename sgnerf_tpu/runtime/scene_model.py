@@ -33,7 +33,8 @@ from ..models.point_cloud import (NeuralPointCloud, build_grid,
                                   prune as prune_cloud, grow as grow_cloud)
 from ..models.renderer import render_rays
 from ..models.train import (TrainConfig, TrainState, create_train_state,
-                            train_step, _point_subtree, _with_points)
+                            train_step, train_step_multi, _point_subtree,
+                            _with_points)
 from ..options.options import configs_from_opt
 from ..ops.scatter import construct_vox_points_closest
 
@@ -315,6 +316,18 @@ class SceneModel:
         self.state, losses = train_step(
             self.state, self.grid, self.cfg, self.tcfg, batch, key)
         return losses
+
+    def optimize_multi(self, batches, keys):
+        """G steps in one dispatch (train_step_multi): batches is a list of
+        per-step batch dicts (stacked here), keys (G,). Returns the list of
+        per-step loss dicts (device scalars, lazy)."""
+        assert self.sharded_scene is None, (
+            "steps_per_dispatch>1 not wired for --scene_shards")
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        self.state, losses = train_step_multi(
+            self.state, self.grid, self.cfg, self.tcfg, stacked, keys)
+        G = len(batches)
+        return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
 
     def _optimize_spatial(self, batch: Dict, key) -> Dict[str, float]:
         """Training step over the slab-sharded scene (parallel/spatial.py).

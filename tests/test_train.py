@@ -135,3 +135,52 @@ def test_train_step_with_bf16_gather_learns():
         losses_hist.append(float(losses["total"]))
     assert np.isfinite(losses_hist).all()
     assert np.mean(losses_hist[-5:]) < np.mean(losses_hist[:5])
+
+
+def test_train_step_multi_matches_sequential():
+    """train_step_multi (G steps in one lax.scan dispatch) must be exactly
+    G sequential train_step calls."""
+    from sgnerf_tpu.models.train import train_step_multi
+
+    def fresh():
+        rng = np.random.default_rng(0)
+        n = 1000
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+        emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+        cloud = make_point_cloud(xyz, emb, color=(xyz * .5 + .5), dir=xyz,
+                                 capacity=1200)
+        spec = grid_spec_for_cloud(cloud, vsize=[0.08] * 3, vscale=[1, 1, 1],
+                                   kernel_size=[3, 3, 3], max_o=8192, P=16)
+        grid = build_grid(cloud, spec)
+        cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=32, SR=6,
+                           K=4, vsize=(0.08, 0.08, 0.08))
+        params = init_aggregator_params(jax.random.key(0), cfg.agg)
+        return cloud, grid, cfg, params
+
+    tcfg = TrainConfig()
+    G = 3
+    batches = [_batch(R=64, seed=10 + i) for i in range(G)]
+    keys = jax.random.split(jax.random.key(5), G)
+
+    cloud, grid, cfg, params = fresh()
+    st = create_train_state(params, cloud, tcfg)
+    seq_losses = []
+    for i in range(G):
+        st, l = train_step(st, grid, cfg, tcfg, batches[i], keys[i])
+        seq_losses.append(float(l["total"]))
+
+    cloud2, grid2, cfg2, params2 = fresh()
+    st2 = create_train_state(params2, cloud2, tcfg)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    st2, losses = train_step_multi(st2, grid2, cfg2, tcfg, stacked, keys)
+
+    np.testing.assert_allclose(np.asarray(losses["total"]),
+                               np.asarray(seq_losses), rtol=1e-6, atol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        st2.params, st.params)
+    np.testing.assert_allclose(np.asarray(st2.cloud.embedding),
+                               np.asarray(st.cloud.embedding),
+                               rtol=1e-5, atol=1e-6)
+    assert int(st2.step) == int(st.step) == G
