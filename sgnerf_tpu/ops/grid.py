@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,12 @@ class GridSpec:
     vdim: Tuple[int, int, int]               # grid dims
     max_o: int                               # max occupied voxels tracked
     P: int                                   # max points kept per voxel
-    kernel_size: Tuple[int, int, int]        # occupancy dilation (and query) extent
+    kernel_size: Tuple[int, int, int]        # neighbor-SEARCH extent (the
+    #                                          reference kernel's kernel_size)
+    dilate_size: Optional[Tuple[int, int, int]] = None  # occupancy-dilation
+    #   extent — the reference passes opt.query_size into build_occ_vox
+    #   (query_point_indices_worldcoords.py:797), so sample masking dilates
+    #   by QUERY_SIZE while the shell walk spans KERNEL_SIZE; None = same
     nbr_cache: int = 64                      # merged-neighborhood cache size C
     #                                          (0 disables; see build notes)
     # NOTE: cache capacity (max_d) is sized from the actual dilated-voxel
@@ -64,6 +69,10 @@ class GridSpec:
     #   voxels; padding stays rejectable at 1e9)
 
     @property
+    def dilate(self) -> Tuple[int, int, int]:
+        return self.dilate_size or self.kernel_size
+
+    @property
     def min_corner_arr(self) -> jnp.ndarray:
         return jnp.asarray(self.min_corner, dtype=jnp.float32)
 
@@ -76,7 +85,8 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
                       ranges=None, nbr_cache: int = 64,
                       coarse_factor: int = 0, seg_len: int = 4,
                       seg_cap: int = 32,
-                      cache_dtype: str = "float32") -> GridSpec:
+                      cache_dtype: str = "float32",
+                      dilate_size=None) -> GridSpec:
     """Host-side spec computation; mirrors `get_hyperparameters`
     (query_point_indices_worldcoords.py:66-92): point bbox intersected with
     `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
@@ -102,6 +112,8 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
         max_o=int(max_o),
         P=int(P),
         kernel_size=tuple(int(k) for k in np.asarray(kernel_size)),
+        dilate_size=(tuple(int(k) for k in np.asarray(dilate_size))
+                     if dilate_size is not None else None),
         nbr_cache=int(nbr_cache),
         coarse_factor=int(coarse_factor),
         seg_len=int(seg_len),
@@ -306,9 +318,10 @@ def _build_grid_core(xyz: jnp.ndarray, point_mask: jnp.ndarray,
         jnp.where(slot >= 0, slot, spec.max_o)].add(ones, mode="drop")
     bucket_cnt = jnp.minimum(bucket_cnt, spec.P)
 
-    # dilated occupancy mask: scatter occupancy then 3D max-pool by kernel_size
+    # dilated occupancy mask: scatter occupancy then 3D max-pool by the
+    # DILATION extent (reference query_size; see GridSpec.dilate_size)
     occ = (vox_slot.reshape(X, Y, Z) >= 0).astype(jnp.uint8)
-    kx, ky, kz = spec.kernel_size
+    kx, ky, kz = spec.dilate
     occ_mask = jax.lax.reduce_window(
         occ, jnp.uint8(0), jax.lax.max,
         window_dimensions=(kx, ky, kz),

@@ -328,6 +328,12 @@ def configs_from_opt(opt):
     grid_kwargs = dict(
         vsize=list(opt.vsize), vscale=list(opt.vscale),
         kernel_size=list(opt.kernel_size),
+        # the reference dilates occupancy by QUERY_SIZE and walks neighbor
+        # shells by KERNEL_SIZE (query_point_indices_worldcoords.py:797 vs
+        # :898); they differ in the ete configs (kernel 5^3, query 3^3)
+        dilate_size=(list(opt.query_size)
+                     if tuple(opt.query_size) != tuple(opt.kernel_size)
+                     else None),
         max_o=opt.max_o or 610000, P=opt.P,
         ranges=(list(opt.ranges) if opt.ranges[0] > -99.0 else None),
         coarse_factor=opt.coarse_factor, seg_len=opt.seg_len,

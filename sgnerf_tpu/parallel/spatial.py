@@ -128,7 +128,7 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
     minx = gspec.min_corner[0]
     gx = np.floor((xyz[:, 0] - minx) / vsx).astype(np.int64)
 
-    halo = max(gspec.kernel_size) // 2 + 1
+    halo = max(max(gspec.kernel_size), max(gspec.dilate)) // 2 + 1
     slab_w = (X + n_shards - 1) // n_shards
     Lx = slab_w + 2 * halo
 
@@ -148,9 +148,9 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
         sels.append(sel)
         if len(sel):
             occ = np.unique(voxel[sel], axis=0)
-            # dilation by kernel_size around occupied voxels, clipped to the
-            # shard window — sizes the cache table
-            ks = np.asarray(gspec.kernel_size) // 2
+            # dilation by the dilate extent around occupied voxels, clipped
+            # to the shard window — sizes the cache table
+            ks = np.asarray(gspec.dilate) // 2
             offs = np.stack(np.meshgrid(*[np.arange(-k, k + 1) for k in ks],
                                         indexing="ij"), -1).reshape(-1, 3)
             dil = (occ[:, None, :] + offs[None]).reshape(-1, 3)

@@ -349,3 +349,43 @@ def test_bf16_cache_dtype_neighbor_agreement():
         da = np.linalg.norm(pa - centers, axis=-1)
         db = np.linalg.norm(pb - centers, axis=-1)
         assert np.abs(da - db).max() < 2e-3, np.abs(da - db).max()
+
+
+def test_dilate_size_separate_from_kernel_size():
+    """The reference dilates occupancy by QUERY_SIZE but walks neighbor
+    shells by KERNEL_SIZE (build_occ_vox receives query_size_gpu,
+    query_point_indices_worldcoords.py:797; query_along_ray receives
+    kernel_size_gpu, :898). With kernel 5^3 / dilate 3^3: shading points
+    only within 1 voxel of occupancy, but neighbors found up to 2 voxels
+    away."""
+    import jax.numpy as jnp
+    from sgnerf_tpu.ops.grid import compute_grid_spec, build_point_grid
+    from sgnerf_tpu.ops.query import query_neighbors
+
+    # one point at the origin-ish cell center
+    xyz = np.asarray([[0.05, 0.05, 0.05]], np.float32)
+    pad = np.full((7, 3), 1e9, np.float32)
+    allx = np.concatenate([xyz, pad])
+    mask = jnp.asarray([True] + [False] * 7)
+    spec = compute_grid_spec(xyz, vsize=[0.1] * 3, vscale=[1] * 3,
+                             kernel_size=[5, 5, 5], max_o=256, P=4,
+                             ranges=[-1.0] * 3 + [1.0] * 3,
+                             dilate_size=[3, 3, 3])
+    assert spec.dilate == (3, 3, 3) and spec.kernel_size == (5, 5, 5)
+    grid = build_point_grid(jnp.asarray(allx), mask, spec)
+    occ = np.asarray(grid.occ_mask)
+    # dilation extent 3 -> exactly a 3^3 block is marked
+    assert occ.sum() == 27
+
+    # a sample 2 voxels away is NOT a shading point (outside 3^3 dilation)
+    far = np.asarray([[[[0.25, 0.05, 0.05]]]], np.float32)  # (B,R,D,3)
+    near = np.asarray([[[[0.15, 0.05, 0.05]]]], np.float32)
+    qf = query_neighbors(grid, jnp.asarray(allx), jnp.asarray(far),
+                         K=2, SR=1, radius_limit=0.0)
+    qn = query_neighbors(grid, jnp.asarray(allx), jnp.asarray(near),
+                         K=2, SR=1, radius_limit=0.0)
+    assert not bool(qf.ray_mask.any())
+    # ...but a shading point 1 voxel away finds the neighbor (search 5^3
+    # covers it through the cache built over the kernel extent)
+    assert bool(qn.ray_mask.all())
+    assert int(qn.sample_pidx[0, 0, 0, 0]) == 0
