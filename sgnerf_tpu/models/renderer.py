@@ -84,6 +84,11 @@ class RenderConfig:
     jitter: float = 0.3              # train-time sample jitter fraction
     domain_size: float = 1.0         # cube raygen half-extent
     knn_mode: str = "exact"          # "approx" = lax.approx_max_k KNN
+    shpnt_jitter: str = "passfunc"   # perspective-path train-time shading-
+    #                                  point depth jitter (reference
+    #                                  query_point_indices.py:96,116-126;
+    #                                  the world-coords path never applies
+    #                                  it): "uniform" | "gaussian" | off
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
     #                                  traffic (compute stays f32)
 
@@ -310,13 +315,30 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
         jitter=cfg.jitter if is_train else 0.0, key=kj)
 
+    ksj = None
+    if ks is not None:
+        ks, ksj = jax.random.split(ks)
     res, _ = query_neighbors_perspective(
         cloud.xyz, cloud.active, raypos, camrotc2w, campos, pspec,
         K=cfg.K, SR=cfg.SR, radius_limit=cfg.radius_limit, key=ks)
-    # res.sample_loc_w holds PERSPECTIVE coords; lift back to world for the
-    # shared shading path
-    loc_w = pers2w(res.sample_loc_w.reshape(-1, 3), camrotc2w[0],
-                   campos[0]).reshape(res.sample_loc_w.shape)
+    # train-time shading-point depth jitter in perspective space
+    # (reference query_point_indices.py:96: uniform +-vsize_z/2, gaussian
+    # std vsize_z/4 clamped to +-vsize_z/2, passfunc = identity)
+    loc_p = res.sample_loc_w
+    if is_train and ksj is not None and cfg.shpnt_jitter in ("uniform",
+                                                             "gaussian"):
+        vz = pspec.vsize[2]
+        if cfg.shpnt_jitter == "uniform":
+            j = (jax.random.uniform(ksj, loc_p.shape[:-1]) - 0.5) * vz
+        else:
+            j = jnp.clip(jax.random.normal(ksj, loc_p.shape[:-1]) * (vz / 4),
+                         -vz / 2, vz / 2)
+        loc_p = loc_p.at[..., 2].add(
+            jnp.where(res.sample_loc_mask, j, 0.0))
+    # loc_p holds PERSPECTIVE coords; lift back to world for the shared
+    # shading path
+    loc_w = pers2w(loc_p.reshape(-1, 3), camrotc2w[0],
+                   campos[0]).reshape(loc_p.shape)
     loc_w = jnp.where(res.sample_loc_mask[..., None], loc_w, 0.0)
     return _shade_and_march(params, cloud, cfg, res.sample_pidx, loc_w,
                             res.ray_mask, campos, raydir, camrotc2w,

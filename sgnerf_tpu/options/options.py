@@ -310,6 +310,7 @@ def configs_from_opt(opt):
         predict_semantic=opt.predict_semantic,
         gather_dtype=opt.gather_dtype,
         domain_size=float(opt.domain_size),
+        shpnt_jitter=opt.shpnt_jitter,
     )
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,

@@ -98,6 +98,15 @@ class SceneModel:
         self.mesh = None
         self._spatial_fns = {}
         self._spatial_tstate = None  # lazy; created on first optimize()
+        if int(getattr(opt, "wcoord_query", 1)) == 0:
+            # the per-frame perspective-space querier exists
+            # (models/renderer.render_rays_perspective over ops/query_pers,
+            # reference query_point_indices.py) but the driver always runs
+            # the persistent world-space grid — on TPU rebuilding a frustum
+            # grid per frame wastes the persistent-grid design
+            print("[scene_model] wcoord_query=0 requested: the CLI uses the "
+                  "persistent world-space grid (perspective querier is "
+                  "available via render_rays_perspective)")
 
     # ------------------------------------------------------------- checkpoints
 

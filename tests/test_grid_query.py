@@ -389,3 +389,53 @@ def test_dilate_size_separate_from_kernel_size():
     # covers it through the cache built over the kernel extent)
     assert bool(qn.ray_mask.all())
     assert int(qn.sample_pidx[0, 0, 0, 0]) == 0
+
+
+def test_perspective_shpnt_jitter():
+    """Train-time shading-point depth jitter on the perspective path
+    (reference query_point_indices.py:96,116-126): uniform/gaussian perturb
+    the render vs passfunc; inference (is_train=False) is unaffected."""
+    import dataclasses
+    import jax
+    from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                              init_aggregator_params)
+    from sgnerf_tpu.models.point_cloud import make_point_cloud
+    from sgnerf_tpu.models.renderer import (RenderConfig,
+                                            render_rays_perspective)
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+    rng = np.random.default_rng(12)
+    xyz = _small_cloud(600, seed=12) + np.array([0, 0, 3], np.float32)
+    cloud = make_point_cloud(
+        xyz, rng.normal(size=(600, 32)).astype(np.float32) * 0.1,
+        color=np.zeros((600, 3), np.float32),
+        dir=np.zeros((600, 3), np.float32))
+    intr = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]])
+    pspec = perspective_spec_from_camera(intr, 32, 24, 1.0, 6.0,
+                                         [0.05] * 3, [1, 1, 1], [3, 3, 3],
+                                         8192, 8)
+    base = RenderConfig(agg=AggregatorConfig(), z_depth_dim=32, SR=6, K=4,
+                        vsize=(0.05,) * 3, jitter=0.0)
+    params = init_aggregator_params(jax.random.key(0), base.agg)
+    d = rng.normal(size=(1, 16, 3)).astype(np.float32) * 0.2
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    kw = dict(campos=jnp.zeros((1, 3)), raydir=jnp.asarray(d),
+              camrotc2w=jnp.eye(3)[None], near=1.0, far=6.0,
+              bg_color=jnp.ones(3))
+    key = jax.random.key(3)
+
+    cols = {}
+    for mode in ("passfunc", "uniform", "gaussian"):
+        cfg = dataclasses.replace(base, shpnt_jitter=mode)
+        out = render_rays_perspective(params, cloud, pspec, cfg,
+                                      key=key, is_train=True, **kw)
+        cols[mode] = np.asarray(out["coarse_raycolor"])
+    assert np.abs(cols["uniform"] - cols["passfunc"]).max() > 1e-6
+    assert np.abs(cols["gaussian"] - cols["passfunc"]).max() > 1e-6
+    # inference ignores the jitter mode entirely
+    c1 = render_rays_perspective(
+        params, cloud, pspec,
+        dataclasses.replace(base, shpnt_jitter="uniform"), **kw)
+    c2 = render_rays_perspective(params, cloud, pspec, base, **kw)
+    np.testing.assert_array_equal(np.asarray(c1["coarse_raycolor"]),
+                                  np.asarray(c2["coarse_raycolor"]))
