@@ -35,6 +35,7 @@ def detect_blurry(image_paths: Sequence[str], worst_n: int = 150) -> List[int]:
 
 def write_blur_list(scene_dir: str, ids: Sequence[int]):
     path = os.path.join(scene_dir, "exported", "blur_list.txt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         for i in ids:
             f.write(f"{i}\n")
