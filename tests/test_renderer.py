@@ -160,3 +160,4 @@ def test_render_with_part_rotation_table(scene):
     diff = np.abs(np.asarray(out2["coarse_raycolor"]) -
                   np.asarray(base["coarse_raycolor"]))[hit]
     assert diff.max() > 1e-4
+
