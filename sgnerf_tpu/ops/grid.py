@@ -264,6 +264,16 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             # fall back to a static ceiling
             max_d = min(spec.max_o * 8, nvox)
         else:
+            # occupied voxels beyond max_o silently lose their points in the
+            # reference too (reservoir truncation under contention,
+            # query_point_indices_worldcoords.py claim_occ) — but warn, so
+            # a too-small --max_o is visible instead of a quiet quality loss
+            n_occ = int(jnp.sum((grid.vox_slot >= 0).astype(jnp.int32)))
+            if n_occ >= spec.max_o:
+                print(f"[grid] WARNING: occupied voxels hit max_o="
+                      f"{spec.max_o} — points in voxels past the cap are "
+                      f"dropped from the query; raise --max_o (or coarsen "
+                      f"--vsize) to cover the scene", flush=True)
             n_dil = int(jnp.sum((grid.occ_mask > 0).astype(jnp.int32)))
             bucket = 262144
             max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)

@@ -439,3 +439,17 @@ def test_perspective_shpnt_jitter():
     c2 = render_rays_perspective(params, cloud, pspec, base, **kw)
     np.testing.assert_array_equal(np.asarray(c1["coarse_raycolor"]),
                                   np.asarray(c2["coarse_raycolor"]))
+
+
+def test_max_o_overflow_warns(capsys):
+    """Occupied voxels past max_o drop silently in the reference; our build
+    prints a warning so the quality loss is visible."""
+    from sgnerf_tpu.ops.grid import compute_grid_spec, build_point_grid
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    xyz = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    spec = compute_grid_spec(xyz, vsize=[0.05] * 3, vscale=[1] * 3,
+                             kernel_size=[3, 3, 3], max_o=64, P=4,
+                             ranges=[-2.0] * 3 + [2.0] * 3)
+    build_point_grid(jnp.asarray(xyz), jnp.ones(5000, bool), spec)
+    assert "max_o" in capsys.readouterr().out
