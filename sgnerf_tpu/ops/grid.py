@@ -274,6 +274,18 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
                       f"{spec.max_o} — points in voxels past the cap are "
                       f"dropped from the query; raise --max_o (or coarsen "
                       f"--vsize) to cover the scene", flush=True)
+            # points beyond the per-voxel P cap (or in capped voxels) are
+            # equally unreachable — report the total so bucket truncation
+            # is visible (the reference reservoir-samples them away
+            # silently, fill_occ2pnts)
+            n_inb = int(jnp.sum((point_mask & in_bounds(
+                voxel_coords(xyz, spec), spec)).astype(jnp.int32)))
+            n_kept = int(jnp.sum(grid.bucket_cnt))
+            if n_kept < n_inb:
+                frac = 100.0 * (n_inb - n_kept) / max(n_inb, 1)
+                print(f"[grid] {n_inb - n_kept} of {n_inb} in-range points "
+                      f"({frac:.1f}%) are unreachable by the query "
+                      f"(per-voxel P={spec.P} / max_o caps)", flush=True)
             n_dil = int(jnp.sum((grid.occ_mask > 0).astype(jnp.int32)))
             bucket = 262144
             max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)
