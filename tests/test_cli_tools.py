@@ -87,3 +87,41 @@ def test_editing_and_test_edit_cli(trained):
          "--test_num", "1", "--test_num_step", "4",
          "--save_predict_label", "1"]))
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.slow
+def test_gui_server_boots_and_renders(trained):
+    """run/gui.py serves the viewer page and a live JPEG render."""
+    import time
+    import urllib.request
+    scene_dir, ckpt = trained  # noqa: F811
+    port = 18731
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GUI_PORT"] = str(port)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "run", "gui.py")]
+        + _tool_args(scene_dir, ckpt), cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        html = jpeg = None
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(f"gui exited early:\n{out[-2000:]}")
+            try:
+                html = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=5).read()
+                break
+            except Exception:
+                time.sleep(2)
+        assert html and b"sgnerf_tpu viewer" in html
+        jpeg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?az=0&el=0.2&r=2.5",
+            timeout=180).read()
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        proc.kill()
+        proc.wait()
