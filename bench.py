@@ -60,7 +60,11 @@ def main():
     # bf16 MLP matmuls (f32 accumulation): +1.7% on top of the bf16
     # gather (62.8k vs 61.8k); a deeper bf16 (feature buffers too) is
     # SLOWER — see PERFORMANCE.md
-    cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16"),
+    # fused_mlp: VMEM-resident Pallas PE->block1->alpha->K-reduce kernel
+    # (+11%: 62.8k -> 69.9k rays/s; the XLA path round-trips ~8 GB of
+    # per-neighbor intermediates through HBM per chunk, the kernel ~0.5 GB)
+    cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16",
+                                            fused_mlp="pallas"),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008, 0.008, 0.008),
                        gather_dtype="bfloat16")

@@ -61,6 +61,9 @@ class AggregatorConfig:
     sh_dist_func: str = "sh_quadric"
     compute_dtype: str = "float32"   # "bfloat16" runs the MLP matmuls on the
     #                                  MXU in bf16 with f32 accumulation
+    fused_mlp: str = "none"          # "pallas": VMEM-resident fused
+    #                                  PE->block1->alpha->K-reduce kernel
+    #                                  (ops/fused_agg.py, inference path)
 
     @property
     def dist_dim(self) -> int:
@@ -353,47 +356,79 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
     if Rw2c is not None:
         # rotate the world-delta part into the canonical frame (reference :599)
         d = jnp.concatenate([_rot_vec(d[..., :3], Rw2c), d[..., 3:]], axis=-1)
-    if cfg.dist_xyz_freq != 0:
-        d = positional_encoding(d, abs(cfg.dist_xyz_freq))
 
-    feat = sampled_embedding
-    if cfg.num_feat_freqs > 0:
-        feat = jnp.concatenate(
-            [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
-    if cfg.agg_intrp_order > 0:
-        feat = jnp.concatenate([feat, d], axis=-1)
+    use_fused = (
+        cfg.fused_mlp == "pallas"
+        and cfg.shading_feature_mlp_layer1 > 0
+        and cfg.shading_feature_mlp_layer2_bpnet == 0
+        and cfg.shading_feature_mlp_layer3 == 0
+        and cfg.shading_alpha_mlp_layer == 1
+        and cfg.num_feat_freqs > 0 and cfg.dist_xyz_freq > 0
+        and cfg.act_type == "LeakyReLU" and cfg.act_super > 0
+        and cfg.agg_intrp_order == 2
+        and cfg.agg_distance_kernel not in ("trilinear", "sh_intrp",
+                                            "gau_intrp"))
+    if use_fused:
+        # one VMEM-resident Pallas kernel for PE -> block1 -> alpha head ->
+        # weighted K-reduction (ops/fused_agg.py); exact same function of
+        # the weights as the XLA path below
+        from ..ops.fused_agg import fused_block1_alpha
+        M = B * R * SR
+        wm = (weight * conf_coefficient) * mask.astype(weight.dtype)
+        fa, al = fused_block1_alpha(
+            sampled_embedding.reshape(M, K, -1).astype(jnp.float32),
+            d.reshape(M, K, -1).astype(jnp.float32),
+            wm.reshape(M, K).astype(jnp.float32),
+            params["block1"], params["alpha_branch"],
+            K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
+            bf16=(cfg.compute_dtype == "bfloat16"))
+        alpha = al.reshape(B, R, SR, 1)
+        feat_agg = fa.reshape(B, R, SR, -1)
+    else:
+        if cfg.dist_xyz_freq != 0:
+            d = positional_encoding(d, abs(cfg.dist_xyz_freq))
 
-    feat = _mlp_apply(cfg, params["block1"], feat)
+        feat = sampled_embedding
+        if cfg.num_feat_freqs > 0:
+            feat = jnp.concatenate(
+                [feat, positional_encoding(feat, cfg.num_feat_freqs)],
+                axis=-1)
+        if cfg.agg_intrp_order > 0:
+            feat = jnp.concatenate([feat, d], axis=-1)
 
-    if cfg.shading_feature_mlp_layer2_bpnet > 0:
-        if sampled_label_embedding is not None:
-            feat = jnp.concatenate([feat, sampled_label_embedding], axis=-1)
-        feat = _mlp_apply(cfg, params["block2_bpnet"], feat)
+        feat = _mlp_apply(cfg, params["block1"], feat)
 
-    if cfg.shading_feature_mlp_layer3 > 0:
-        # per-neighbor color + dir features (reference :638-653): stored dirs
-        # rotated into the canonical frame, compared against the viewdir
-        parts = [feat]
-        if "1" in cfg.point_color_mode and sampled_color is not None:
-            parts.append(sampled_color)
-        if "1" in cfg.point_dir_mode and sampled_dir is not None:
-            sd = sampled_dir
-            if Rw2c is not None:
-                sd = _rot_vec(sd, Rw2c)
-            ov = ori_viewdirs[..., None, :]                 # (B,R,SR,1,3)
-            parts.append(sd - jnp.broadcast_to(ov, sd.shape))
-            parts.append(jnp.sum(sd * ov, axis=-1, keepdims=True))
-        feat = _mlp_apply(cfg, params["block3"],
-                          jnp.concatenate(parts, axis=-1))
+        if cfg.shading_feature_mlp_layer2_bpnet > 0:
+            if sampled_label_embedding is not None:
+                feat = jnp.concatenate(
+                    [feat, sampled_label_embedding], axis=-1)
+            feat = _mlp_apply(cfg, params["block2_bpnet"], feat)
 
-    # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
-    raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat, act_last=False)
-    alpha_nb = raw2out_density(cfg, raw_alpha)          # (B,R,SR,K,1)
-    alpha_nb = alpha_nb * mask[..., None]
-    alpha = jnp.sum(alpha_nb * w, axis=-2)              # (B,R,SR,1)
+        if cfg.shading_feature_mlp_layer3 > 0:
+            # per-neighbor color + dir features (reference :638-653): stored
+            # dirs rotated into the canonical frame, compared to the viewdir
+            parts = [feat]
+            if "1" in cfg.point_color_mode and sampled_color is not None:
+                parts.append(sampled_color)
+            if "1" in cfg.point_dir_mode and sampled_dir is not None:
+                sd = sampled_dir
+                if Rw2c is not None:
+                    sd = _rot_vec(sd, Rw2c)
+                ov = ori_viewdirs[..., None, :]             # (B,R,SR,1,3)
+                parts.append(sd - jnp.broadcast_to(ov, sd.shape))
+                parts.append(jnp.sum(sd * ov, axis=-1, keepdims=True))
+            feat = _mlp_apply(cfg, params["block3"],
+                              jnp.concatenate(parts, axis=-1))
 
-    feat = feat * mask[..., None]
-    feat_agg = jnp.sum(feat * w, axis=-2)               # (B,R,SR,C)
+        # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
+        raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat,
+                               act_last=False)
+        alpha_nb = raw2out_density(cfg, raw_alpha)      # (B,R,SR,K,1)
+        alpha_nb = alpha_nb * mask[..., None]
+        alpha = jnp.sum(alpha_nb * w, axis=-2)          # (B,R,SR,1)
+
+        feat = feat * mask[..., None]
+        feat_agg = jnp.sum(feat * w, axis=-2)           # (B,R,SR,C)
 
     color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)
     raw_color = _mlp_apply(cfg, params["color_branch"], color_in,

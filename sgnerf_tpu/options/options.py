@@ -141,6 +141,10 @@ _F = [
     # (+41% render, PERFORMANCE.md) and bf16 shading-MLP matmuls
     ("gather_dtype", str, "float32", None),
     ("compute_dtype", str, "float32", None),
+    # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
+    # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
+    # CPU (interpret-mode compiles are slow); pallas/none force it
+    ("fused_mlp", str, "auto", None),
     # two-level sample compaction (0=off): coarse supervoxel pre-test cuts
     # the dominant per-sample occupancy-gather rows (ops/grid.py GridSpec)
     ("coarse_factor", int, 0, None), ("seg_len", int, 4, None),
@@ -268,6 +272,13 @@ def configs_from_opt(opt):
         v = getattr(opt, f)
         if v not in ("float32", "bfloat16"):
             raise ValueError(f"--{f} must be float32 or bfloat16, got {v!r}")
+    fused = getattr(opt, "fused_mlp", "auto")
+    if fused not in ("auto", "pallas", "none"):
+        raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")
+    if fused == "auto":
+        import jax
+        # "axon" is the remote-TPU platform name; only plain CPU opts out
+        fused = "none" if jax.default_backend() == "cpu" else "pallas"
     agg = AggregatorConfig(
         point_features_dim=opt.point_features_dim,
         shading_feature_num=opt.shading_feature_num,
@@ -294,6 +305,7 @@ def configs_from_opt(opt):
         axis_weight=(tuple(opt.agg_axis_weight)
                      if opt.agg_axis_weight is not None else None),
         compute_dtype=opt.compute_dtype,
+        fused_mlp=fused,
     )
     cfg = RenderConfig(
         agg=agg,

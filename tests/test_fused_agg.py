@@ -1,0 +1,118 @@
+"""Fused Pallas aggregator kernel (ops/fused_agg.py) vs the XLA path.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernel was
+A/B'd compiled on a real TPU chip (PERFORMANCE.md: +11% render in-context).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                          init_aggregator_params, aggregate)
+from sgnerf_tpu.ops.fused_agg import fused_block1_alpha
+
+
+def _agg_inputs(rng, B=1, R=7, SR=5, K=8, F=32):
+    def mk(shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, R, SR, K)) < 0.5)
+    return dict(
+        sampled_embedding=mk((B, R, SR, K, F)) * 0.2,
+        sampled_color=mk((B, R, SR, K, 3)),
+        sampled_dir=mk((B, R, SR, K, 3)),
+        sampled_conf=jnp.abs(mk((B, R, SR, K, 1))),
+        sampled_label_embedding=None,
+        sampled_xyz=mk((B, R, SR, K, 3)),
+        sampled_xyz_pers=mk((B, R, SR, K, 3)),
+        sample_pnt_mask=mask,
+        sample_loc=mk((B, R, SR, 3)),
+        sample_loc_w=mk((B, R, SR, 3)),
+        sample_ray_dirs=mk((B, R, SR, 3)),
+        Rw2c=None, vsize=(0.008,) * 3)
+
+
+def test_fused_matches_xla_forward():
+    rng = np.random.default_rng(0)
+    kw = _agg_inputs(rng)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(0), cfg)
+    out_ref = aggregate(params, cfg, **kw)
+    out_fused = aggregate(
+        params, dataclasses.replace(cfg, fused_mlp="pallas"), **kw)
+    np.testing.assert_allclose(out_ref[0], out_fused[0], atol=3e-6)
+    np.testing.assert_array_equal(out_ref[1], out_fused[1])
+
+
+def test_fused_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    kw = _agg_inputs(rng, R=3, SR=4)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(0), cfg)
+
+    def loss(cfg):
+        def f(params, emb):
+            kw2 = dict(kw)
+            kw2["sampled_embedding"] = emb
+            dec, *_ = aggregate(params, cfg, **kw2)
+            return jnp.sum(dec ** 2)
+        return f
+
+    g_ref = jax.grad(loss(cfg), argnums=(0, 1))(
+        params, kw["sampled_embedding"])
+    g_fused = jax.grad(
+        loss(dataclasses.replace(cfg, fused_mlp="pallas")), argnums=(0, 1))(
+        params, kw["sampled_embedding"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g_ref,
+        g_fused)
+
+
+def test_fused_pads_nonmultiple_rows():
+    # M = B*R*SR = 1*5*7 = 35, far from the TM=128 tile
+    rng = np.random.default_rng(2)
+    K, F = 8, 32
+    M = 35
+    feat = jnp.asarray(rng.normal(size=(M, K, F)).astype(np.float32)) * 0.2
+    d = jnp.asarray(rng.normal(size=(M, K, 6)).astype(np.float32)) * 0.01
+    w = jnp.asarray(rng.random((M, K)).astype(np.float32))
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(3), cfg)
+    fa, al = fused_block1_alpha(
+        feat, d, w, params["block1"], params["alpha_branch"],
+        K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq), bf16=False)
+    assert fa.shape == (M, cfg.shading_feature_num)
+    assert al.shape == (M, 1)
+    # reference via the XLA statement of the same math
+    from sgnerf_tpu.ops.fused_agg import _xla_ref
+    fa_ref, al_ref = _xla_ref(
+        (K, cfg.num_feat_freqs, abs(cfg.dist_xyz_freq), False),
+        feat, d, w, params["block1"], params["alpha_branch"])
+    np.testing.assert_allclose(fa, fa_ref, atol=3e-5)
+    np.testing.assert_allclose(al, al_ref, atol=3e-6)
+
+
+def test_fused_falls_back_when_unsupported():
+    # block3 configs (editing) keep the XLA path; output must be identical
+    rng = np.random.default_rng(4)
+    kw = _agg_inputs(rng)
+    cfg = AggregatorConfig(shading_feature_mlp_layer3=1)
+    params = init_aggregator_params(jax.random.key(0), cfg)
+    out_ref = aggregate(params, cfg, **kw)
+    out_fused = aggregate(
+        params, dataclasses.replace(cfg, fused_mlp="pallas"), **kw)
+    np.testing.assert_array_equal(out_ref[0], out_fused[0])
+
+
+def test_fused_bf16_close_to_f32():
+    rng = np.random.default_rng(5)
+    kw = _agg_inputs(rng)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(0), cfg)
+    out_f32 = aggregate(params, cfg, **kw)
+    out_bf16 = aggregate(
+        params, dataclasses.replace(cfg, fused_mlp="pallas",
+                                    compute_dtype="bfloat16"), **kw)
+    np.testing.assert_allclose(out_f32[0], out_bf16[0], atol=0.05)
