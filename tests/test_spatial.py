@@ -285,3 +285,26 @@ def test_spatial_semantic_guidance_matches_replicated(scene):
                         bg_color=bg)
     assert np.abs(np.asarray(ref["coarse_raycolor"])
                   - np.asarray(plain["coarse_raycolor"])).max() > 1e-4
+
+
+def test_sharded_render_fused_mlp(scene):
+    # the fused Pallas aggregator (ops/fused_agg.py) must work INSIDE the
+    # shard_map slab decomposition (--scene_shards on TPU enables both)
+    import dataclasses
+    cloud, spec, grid, cfg, params = scene
+    cfgf = dataclasses.replace(
+        cfg, agg=dataclasses.replace(cfg.agg, fused_mlp="pallas"))
+    campos, raydir, rot = _rays(128)
+    bg = jnp.ones(3)
+    ref = render_rays(params, cloud, grid, cfg, campos=campos,
+                      raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=bg)
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+    out = render_rays_spatial(params, sharded, sspec, cfgf, mesh,
+                              campos=campos, raydir=raydir, camrotc2w=rot,
+                              near=1.0, far=5.0, bg_color=bg)
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=3e-5, rtol=1e-4)
