@@ -63,11 +63,14 @@ def main():
     # fused_mlp: VMEM-resident Pallas PE->block1->alpha->K-reduce kernel
     # (+11%: 62.8k -> 69.9k rays/s; the XLA path round-trips ~8 GB of
     # per-neighbor intermediates through HBM per chunk, the kernel ~0.5 GB)
+    # knn_mode fused: Pallas select over the gathered cache rows (+8%:
+    # 69.9k -> 75.6k; replaces the XLA unpack/top_k pipeline)
     cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16",
                                             fused_mlp="pallas"),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008, 0.008, 0.008),
-                       gather_dtype="bfloat16")
+                       gather_dtype="bfloat16",
+                       knn_mode="fused")
     params = init_aggregator_params(jax.random.key(0), cfg.agg)
 
     R = 9216  # our chunk (the reference uses 48^2=2304; chunking is

@@ -65,7 +65,8 @@ def main():
     print(f"grid: occupied={n_occ} dilated={n_dil} "
           f"max_d={grid.nbr_packed.shape[0]}", flush=True)
 
-    cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16"),
+    cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16",
+                                            fused_mlp="pallas"),
                        z_depth_dim=D, SR=SR, K=K,
                        vsize=(0.008, 0.008, 0.008), gather_dtype="bfloat16")
     params = init_aggregator_params(jax.random.key(0), cfg.agg)

@@ -83,7 +83,9 @@ class RenderConfig:
     predict_semantic: int = 0
     jitter: float = 0.3              # train-time sample jitter fraction
     domain_size: float = 1.0         # cube raygen half-extent
-    knn_mode: str = "exact"          # "approx" = lax.approx_max_k KNN
+    knn_mode: str = "exact"          # "approx" = lax.approx_max_k KNN;
+    #                                  "fused" = Pallas select over gathered
+    #                                  cache rows (ops/fused_knn.py)
     shpnt_jitter: str = "passfunc"   # perspective-path train-time shading-
     #                                  point depth jitter (reference
     #                                  query_point_indices.py:96,116-126;

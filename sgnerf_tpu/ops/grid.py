@@ -179,18 +179,24 @@ def pack_cache(xyz: jnp.ndarray, pidx: jnp.ndarray,
                cache_dtype: str) -> jnp.ndarray:
     """(S,C,3) offsets + (S,C) int32 ids -> (S, C*W) int16 packed rows.
 
-    PLANE layout — [all xyz halves | all pidx halves] — so unpack is two
-    contiguous slices + reshapes (an interleaved per-candidate layout would
-    need stride-W int16 slicing, a relayout on TPU)."""
+    PLANAR layout — bf16: [x(C) | y(C) | z(C) | pidx_lo(C) | pidx_hi(C)]
+    int16 lane planes; f32: six xyz half-planes then lo/hi. Planar (not
+    per-candidate-interleaved) so both the XLA unpack and the fused Pallas
+    KNN kernel (ops/fused_knn.py) read each field as ONE contiguous lane
+    slice — per-candidate interleaving would need stride-W int16 slicing,
+    a relayout on TPU."""
+    lead = xyz.shape[:-2]
     if cache_dtype == "bfloat16":
         xi = jax.lax.bitcast_convert_type(
             xyz.astype(jnp.bfloat16), jnp.int16)           # (S,C,3)
+        xi = jnp.moveaxis(xi, -1, -2).reshape(*lead, -1)   # (S,3*C) planar
     else:
         xi = jax.lax.bitcast_convert_type(
             xyz.astype(jnp.float32), jnp.int16)            # (S,C,3,2)
-    xi = xi.reshape(*xyz.shape[:-2], -1)                   # (S,C*3 or C*6)
+        xi = xi.reshape(*lead, -1, 6)                      # (S,C,6)
+        xi = jnp.moveaxis(xi, -1, -2).reshape(*lead, -1)   # (S,6*C) planar
     pi = jax.lax.bitcast_convert_type(pidx.astype(jnp.int32), jnp.int16)
-    pi = pi.reshape(*pidx.shape[:-1], -1)                  # (S,C*2)
+    pi = jnp.moveaxis(pi, -1, -2).reshape(*lead, -1)       # (S,2*C): lo|hi
     return jnp.concatenate([xi, pi], axis=-1)              # (S,C*W)
 
 
@@ -208,13 +214,17 @@ def unpack_cache(packed: jnp.ndarray, spec: GridSpec):
     lead = packed.shape[:-1]
     split = C * (3 if bf16 else 6)
     if bf16:
+        planes = packed[..., :split].reshape(lead + (3, C))
         xyz = jax.lax.bitcast_convert_type(
-            packed[..., :split].reshape(lead + (C, 3)), jnp.bfloat16)
+            jnp.moveaxis(planes, -2, -1), jnp.bfloat16)    # (..., C, 3)
     else:
+        planes = packed[..., :split].reshape(lead + (6, C))
         xyz = jax.lax.bitcast_convert_type(
-            packed[..., :split].reshape(lead + (C, 3, 2)), jnp.float32)
+            jnp.moveaxis(planes, -2, -1).reshape(lead + (C, 3, 2)),
+            jnp.float32)
+    pl_ = packed[..., split:].reshape(lead + (2, C))
     pidx = jax.lax.bitcast_convert_type(
-        packed[..., split:].reshape(lead + (C, 2)), jnp.int32)
+        jnp.moveaxis(pl_, -2, -1), jnp.int32)              # (..., C)
     return xyz, pidx
 
 

@@ -196,6 +196,32 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         # (T,8,128) tile layout would amplify the cache 6.4x in HBM
         # (dev_scripts/probe_pallas_cache.py, PERFORMANCE.md).
         rows = jax.lax.optimization_barrier(grid.nbr_packed[slot_c])
+        if (knn_mode == "fused" and not semantic_guidance
+                and spec.cache_dtype == "bfloat16"):
+            # fused Pallas select (ops/fused_knn.py): consumes the gathered
+            # planar rows directly, skipping the XLA unpack / (M,C,3)
+            # materialization / sort-based top_k. Exact same selection as
+            # the path below (ties in candidate order). Semantic guidance
+            # (a train-time sampler) keeps the XLA path.
+            from .fused_knn import fused_knn_select
+            center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \
+                + spec.min_corner_arr
+            Mq = B * R * SR
+            Cc = rows.shape[-1] // 5
+            r2 = jnp.asarray(radius_limit, jnp.float32) ** 2
+            sel = fused_knn_select(
+                rows.reshape(Mq, -1),
+                (sample_loc_w - center).reshape(Mq, 3),
+                slot_ok.reshape(Mq), r2, C=Cc, K=K)
+            sample_pidx = sel.reshape(B, R, SR, K)
+            ray_mask = jnp.any(sample_pidx.reshape(B, R, -1) >= 0, axis=-1)
+            return QueryResult(
+                sample_pidx=sample_pidx,
+                sample_loc_w=sample_loc_w,
+                sample_loc_mask=smask,
+                ray_mask=ray_mask,
+                sample_label=sample_label,
+            )
         off, cand = unpack_cache(rows, spec)
         # cache rows hold OFFSETS from the voxel center (grid.py build);
         # reconstruct world coords with one FMA — free next to the gather

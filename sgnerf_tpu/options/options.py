@@ -145,6 +145,10 @@ _F = [
     # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
     # CPU (interpret-mode compiles are slow); pallas/none force it
     ("fused_mlp", str, "auto", None),
+    # KNN select: exact (XLA top_k) | approx (lax.approx_max_k) | fused
+    # (Pallas select over the gathered cache rows, ops/fused_knn.py) |
+    # auto (fused on TPU with a bf16 cache, exact otherwise)
+    ("knn_mode", str, "auto", None),
     # two-level sample compaction (0=off): coarse supervoxel pre-test cuts
     # the dominant per-sample occupancy-gather rows (ops/grid.py GridSpec)
     ("coarse_factor", int, 0, None), ("seg_len", int, 4, None),
@@ -279,6 +283,14 @@ def configs_from_opt(opt):
         import jax
         # "axon" is the remote-TPU platform name; only plain CPU opts out
         fused = "none" if jax.default_backend() == "cpu" else "pallas"
+    knn = getattr(opt, "knn_mode", "auto")
+    if knn not in ("auto", "exact", "approx", "fused"):
+        raise ValueError(
+            f"--knn_mode must be auto/exact/approx/fused, got {knn!r}")
+    if knn == "auto":
+        import jax
+        knn = ("fused" if jax.default_backend() != "cpu"
+               and opt.cache_dtype == "bfloat16" else "exact")
     agg = AggregatorConfig(
         point_features_dim=opt.point_features_dim,
         shading_feature_num=opt.shading_feature_num,
@@ -323,6 +335,7 @@ def configs_from_opt(opt):
         gather_dtype=opt.gather_dtype,
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,
+        knn_mode=knn,
     )
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,
