@@ -281,6 +281,20 @@ def _local_query(scene_slice, sspec: SpatialSpec, cfg: RenderConfig,
     slot_c = jnp.clip(slot, 0, sspec.max_d_s - 1)
 
     rows = jax.lax.optimization_barrier(nbr_packed[slot_c])
+    if (cfg.knn_mode == "fused" and not semantic_guidance
+            and lspec.cache_dtype == "bfloat16"):
+        # fused Pallas select over the slab-local rows (ops/fused_knn.py),
+        # same selection as the XLA path below; runs inside shard_map
+        from ..ops.fused_knn import fused_knn_select
+        center = (c.astype(jnp.float32) + 0.5) * gspec.vsize_arr \
+            + gspec.min_corner_arr
+        Mq = B * R * SR
+        Cc = rows.shape[-1] // 5
+        r2 = jnp.asarray(cfg.radius_limit, jnp.float32) ** 2
+        sel = fused_knn_select(
+            rows.reshape(Mq, -1), (sample_loc_w - center).reshape(Mq, 3),
+            slot_ok.reshape(Mq), r2, C=Cc, K=cfg.K)
+        return sel.reshape(B, R, SR, cfg.K), own
     off, cand = unpack_cache(rows, lspec)
     center = (c.astype(jnp.float32) + 0.5) * gspec.vsize_arr \
         + gspec.min_corner_arr

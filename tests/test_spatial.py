@@ -308,3 +308,29 @@ def test_sharded_render_fused_mlp(scene):
     np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
                                np.asarray(ref["coarse_raycolor"]),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_sharded_render_fused_knn(scene):
+    # fused Pallas KNN select inside the shard_map local query must equal
+    # the exact single-device render (needs a bf16 cache)
+    import dataclasses
+    cloud, spec, grid, cfg, params = scene
+    spec_bf = dataclasses.replace(spec, cache_dtype="bfloat16")
+    grid_bf = build_grid(cloud, spec_bf)
+    cfgf = dataclasses.replace(cfg, knn_mode="fused")
+    campos, raydir, rot = _rays(128)
+    bg = jnp.ones(3)
+    ref = render_rays(params, cloud, grid_bf, cfgf, campos=campos,
+                      raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=bg)
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec_bf, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+    out = render_rays_spatial(params, sharded, sspec, cfgf,
+                              mesh, campos=campos, raydir=raydir,
+                              camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["ray_mask"]),
+                                  np.asarray(ref["ray_mask"]))
