@@ -23,9 +23,18 @@ ops/pe.py). Lane-interleaving is awkward in Mosaic, so the kernel computes
 permutes block1's first weight matrix rows to match (`_permute_w1`): the
 fused kernel is bit-for-bit the same function of the checkpoint weights.
 
-The weighted K-reduction runs on the MXU as S @ (h * w) where S is the
-(TM, TM*K) segment-sum selector built from broadcasted_iota — Mosaic-safe
-(no sublane reshapes).
+The inputs stay POINT-MAJOR, flattened to 2-D ((M*K, C) — a leading-axis
+merge, free in XLA; 3-D (M, K, C) operands were measured to cost ~16 ms
+of XLA-side relayout copies per chunk, and a neighbor-major transpose at
+entry ~13 ms). Each grid step takes a (TM*K, C) block and the weighted
+K-reduction splits the leading axis back to (TM, K, C+1) — a Mosaic
+layout no-op, K=8 is exactly the f32 sublane tile — and sums over the
+sublane axis. (A first version used an MXU selector matmul S @ (h*w);
+its cost is O(M*K*C*TM) and profiled at 16 ms/chunk — the sublane
+reduction removes it.)
+The two PE halves share one sin and one cos matmul (rows [WsinF; WsinD]),
+so block1's first layer runs as 3 MXU contractions (K-dims 32/126/126)
+instead of 5.
 
 Differentiable everywhere: a custom_vjp pairs the Pallas forward with an
 XLA-recompute backward (the same math as the un-fused path), so training
@@ -82,7 +91,7 @@ def _freq_major(x: jnp.ndarray, freqs: int) -> jnp.ndarray:
 
 
 def _kernel(feat_ref, d_ref, w_ref,
-            wf_ref, wsf_ref, wcf_ref, wsd_ref, wcd_ref, b1_ref,
+            wf_ref, wsin_ref, wcos_ref, b1_ref,
             rest_w_refs, rest_b_refs, wa_ref, ba_ref,
             out_ref, *, K: int, nf: int, df: int, bf16: bool,
             n_rest: int):
@@ -92,13 +101,15 @@ def _kernel(feat_ref, d_ref, w_ref,
         return jnp.dot(a.astype(mm), b.astype(mm),
                        preferred_element_type=jnp.float32)
 
-    feat = feat_ref[...]                       # (TMK, F)
-    d = d_ref[...]                             # (TMK, Dd)
-    pf = _freq_major(feat, nf)                 # (TMK, F*nf)
-    pd = _freq_major(d, df)                    # (TMK, Dd*df)
+    TMK, F = feat_ref.shape
+    TM = TMK // K
+    feat = feat_ref[...]                       # (TMK, F) point-major rows
+    d = d_ref[...]
+    pf = _freq_major(feat, nf)                 # (KTM, F*nf)
+    pd = _freq_major(d, df)                    # (KTM, Dd*df)
+    z = jnp.concatenate([pf, pd], axis=-1)     # (KTM, F*nf + Dd*df)
     h = (dot(feat, wf_ref[...])
-         + dot(jnp.sin(pf), wsf_ref[...]) + dot(jnp.cos(pf), wcf_ref[...])
-         + dot(jnp.sin(pd), wsd_ref[...]) + dot(jnp.cos(pd), wcd_ref[...])
+         + dot(jnp.sin(z), wsin_ref[...]) + dot(jnp.cos(z), wcos_ref[...])
          + b1_ref[...])
     h = jax.nn.leaky_relu(h, negative_slope=0.01)
     for i in range(n_rest):
@@ -109,19 +120,16 @@ def _kernel(feat_ref, d_ref, w_ref,
     # per-neighbor alpha: softplus(h @ wa + ba - 1); wa enters as a (1, C)
     # row so the head is a lane reduction, not a width-1 matmul
     raw = jnp.sum(h * wa_ref[...], axis=-1, keepdims=True) + ba_ref[...]
-    alpha = jax.nn.softplus(raw - 1.0)         # (TMK, 1)
+    alpha = jax.nn.softplus(raw - 1.0)         # (KTM, 1)
 
     w = w_ref[...]                             # (TMK, 1) weight*conf, 0 masked
-    z = jnp.concatenate([h * w, alpha * w], axis=-1)   # (TMK, C+1)
+    z2 = jnp.concatenate([h * w, alpha * w], axis=-1)  # (TMK, C+1)
 
-    # segment-sum over the K neighbor slots as an MXU contraction
-    TMK = z.shape[0]
-    TM = TMK // K
-    row = jax.lax.broadcasted_iota(jnp.int32, (TM, TMK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TM, TMK), 1)
-    S = (col // K == row).astype(mm)
-    out_ref[...] = jnp.dot(S, z.astype(mm),
-                           preferred_element_type=jnp.float32)
+    # weighted sum over the K neighbor slots: split the leading axis (a
+    # layout no-op — K=8 becomes the sublane dim) and reduce over it.
+    # No selector matmul (O(M*K*C*TM), profiled 16 ms/chunk) and no XLA
+    # transpose to neighbor-major (profiled ~13 ms of copies).
+    out_ref[...] = jnp.sum(z2.reshape(TM, K, z2.shape[-1]), axis=1)
 
 
 def _xla_ref(cfgt, feat, d, w, block1, alpha_branch):
@@ -191,8 +199,7 @@ def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
     Dd = d.shape[-1]
     C = block1[0]["w"].shape[1]
 
-    TM = 128
-    TMK = TM * K
+    TM = 256
     pad = (-M) % TM
     if pad:
         feat = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
@@ -200,11 +207,15 @@ def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
         w = jnp.pad(w, ((0, pad), (0, 0)))
     Mp = M + pad
 
+    # flat 2-D operands: leading-axis merges are free in XLA, and 2-D
+    # (rows, cols) Pallas operands avoid the 3-D-operand relayout copies
     feat2 = feat.reshape(Mp * K, F)
     d2 = d.reshape(Mp * K, Dd)
     w2 = w.reshape(Mp * K, 1)
 
     Wf, WsinF, WcosF, WsinD, WcosD = _permute_w1(block1[0]["w"], F, nf, Dd, df)
+    Wsin = jnp.concatenate([WsinF, WsinD], axis=0)   # rows match z=[pf|pd]
+    Wcos = jnp.concatenate([WcosF, WcosD], axis=0)
     b1 = block1[0]["b"].reshape(1, C)
     rest_w = tuple(l["w"] for l in block1[1:])
     rest_b = tuple(l["b"].reshape(1, C) for l in block1[1:])
@@ -215,7 +226,7 @@ def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
     grid = (Mp // TM,)
 
     def row_spec(cols):
-        return pl.BlockSpec((TMK, cols), lambda i: (i, 0),
+        return pl.BlockSpec((TM * K, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def full(a):
@@ -225,30 +236,24 @@ def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
     kernel = functools.partial(
         _kernel, K=K, nf=nf, df=df, bf16=bf16, n_rest=n_rest)
 
-    def body(feat2, d2, w2, wf, wsf, wcf, wsd, wcd, b1, rw, rb, wa, ba):
-        def wrapped(f_r, d_r, w_r, wf_r, wsf_r, wcf_r, wsd_r, wcd_r, b1_r,
-                    *rest, ):
-            rw_refs = rest[:n_rest]
-            rb_refs = rest[n_rest:2 * n_rest]
-            wa_r, ba_r, out_r = rest[2 * n_rest:]
-            kernel(f_r, d_r, w_r, wf_r, wsf_r, wcf_r, wsd_r, wcd_r, b1_r,
-                   rw_refs, rb_refs, wa_r, ba_r, out_r)
+    def wrapped(f_r, d_r, w_r, wf_r, wsin_r, wcos_r, b1_r, *rest):
+        rw_refs = rest[:n_rest]
+        rb_refs = rest[n_rest:2 * n_rest]
+        wa_r, ba_r, out_r = rest[2 * n_rest:]
+        kernel(f_r, d_r, w_r, wf_r, wsin_r, wcos_r, b1_r,
+               rw_refs, rb_refs, wa_r, ba_r, out_r)
 
-        return pl.pallas_call(
-            wrapped,
-            grid=grid,
-            in_specs=[row_spec(F), row_spec(Dd), row_spec(1),
-                      full(wf), full(wsf), full(wcf), full(wsd), full(wcd),
-                      full(b1)]
-            + [full(x) for x in rw] + [full(x) for x in rb]
-            + [full(wa), full(ba)],
-            out_specs=pl.BlockSpec((TM, C + 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, C + 1), jnp.float32),
-            interpret=_interpret(),
-        )(feat2, d2, w2, wf, wsf, wcf, wsd, wcd, b1, *rw, *rb, wa, ba)
-
-    out = body(feat2, d2, w2, Wf, WsinF, WcosF, WsinD, WcosD, b1,
-               rest_w, rest_b, wa, ba)
+    out = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[row_spec(F), row_spec(Dd), row_spec(1),
+                  full(Wf), full(Wsin), full(Wcos), full(b1)]
+        + [full(x) for x in rest_w] + [full(x) for x in rest_b]
+        + [full(wa), full(ba)],
+        out_specs=pl.BlockSpec((TM, C + 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C + 1), jnp.float32),
+        interpret=_interpret(),
+    )(feat2, d2, w2, Wf, Wsin, Wcos, b1, *rest_w, *rest_b, wa, ba)
     out = out[:M]
     return out[:, :C], out[:, C:C + 1]

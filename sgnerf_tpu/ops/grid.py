@@ -27,6 +27,7 @@ Data structures match the reference semantically:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -301,9 +302,47 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)
             max_d = max(max_d, min(bucket, nvox))
         dil_slot, nbr_packed = _build_nbr_cache_jit(grid, spec, max_d)
+        nbr_packed = _force_row_major(nbr_packed)
         grid = dataclasses.replace(grid, dil_slot=dil_slot,
                                    nbr_packed=nbr_packed)
     return grid
+
+
+def _force_row_major(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin a 2-D device array to row-major physical layout.
+
+    pack_cache's planar moveaxis lets the BUILD program store nbr_packed
+    column-major (the transpose is then a free bitcast at build time), but
+    every RENDER step then relayouts the full multi-GB table before the
+    row gather — xprof showed an 11.5 ms s16[5.2M,320] copy per dispatch.
+    One explicit relayout at build amortizes it away. (Row-major is JAX's
+    major_to_minor=(0, 1); tiling is left to the backend default.)"""
+    if isinstance(x, jax.core.Tracer) or x.ndim != 2 or x.size == 0:
+        return x
+    if os.environ.get("SGNERF_CACHE_RELAYOUT", "0") != "1":
+        # Default OFF: feeding the explicitly-relayouted 3.36 GB array into
+        # the big render program makes the axon backend fail with
+        # INVALID_ARGUMENT at dispatch (the same relayout + a jit row
+        # gather works standalone — backend bug at production scale). The
+        # in-program relayout copy this would remove costs only ~1.4 ms/
+        # chunk under G=8 dispatch batching. Re-try via
+        # SGNERF_CACHE_RELAYOUT=1 on a future toolchain.
+        return x
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        dev = list(x.devices())[0]
+        fmt = Format(Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev))
+        if tuple(x.format.layout.major_to_minor) == (0, 1):
+            return x
+        # retire the build program first: the relayout's 3.3 GB output is
+        # allocated at enqueue, and overlapping it with the build's
+        # transients OOMs the chip (measured; build is once-per-rebuild so
+        # the sync is free)
+        jax.block_until_ready(x)
+        return jax.device_put(x, fmt)
+    except Exception:
+        return x    # CPU test backend or layout API unavailable: harmless
 
 
 @partial(jax.jit, static_argnames=("spec",))

@@ -195,9 +195,12 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         # (8,128) HBM layout and crashes on dynamic row slices; the working
         # (T,8,128) tile layout would amplify the cache 6.4x in HBM
         # (dev_scripts/probe_pallas_cache.py, PERFORMANCE.md).
-        rows = jax.lax.optimization_barrier(grid.nbr_packed[slot_c])
         if (knn_mode == "fused" and not semantic_guidance
                 and spec.cache_dtype == "bfloat16"):
+            # no optimization_barrier here: the kernel is the gather's ONLY
+            # consumer, and the barrier forced an 11.5 ms relayout copy
+            # (xprof copy.179) between the gather and the kernel
+            rows = grid.nbr_packed[slot_c]
             # fused Pallas select (ops/fused_knn.py): consumes the gathered
             # planar rows directly, skipping the XLA unpack / (M,C,3)
             # materialization / sort-based top_k. Exact same selection as
@@ -222,6 +225,7 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                 ray_mask=ray_mask,
                 sample_label=sample_label,
             )
+        rows = jax.lax.optimization_barrier(grid.nbr_packed[slot_c])
         off, cand = unpack_cache(rows, spec)
         # cache rows hold OFFSETS from the voxel center (grid.py build);
         # reconstruct world coords with one FMA — free next to the gather
