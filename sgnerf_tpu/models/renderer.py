@@ -85,7 +85,12 @@ class RenderConfig:
     domain_size: float = 1.0         # cube raygen half-extent
     knn_mode: str = "exact"          # "approx" = lax.approx_max_k KNN;
     #                                  "fused" = Pallas select over gathered
-    #                                  cache rows (ops/fused_knn.py)
+    #                                  cache rows (ops/fused_knn.py);
+    #                                  "dedup" = fused + per-tile unique-row
+    #                                  gather (raster-adjacent rays share
+    #                                  voxels; NOT for shuffled train rays)
+    dedup_tile: int = 64             # rays per dedup tile (consecutive)
+    dedup_cap: int = 160             # max distinct cache rows per tile
     shpnt_jitter: str = "passfunc"   # perspective-path train-time shading-
     #                                  point depth jitter (reference
     #                                  query_point_indices.py:96,116-126;
@@ -131,7 +136,8 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         ray_label=pixel_label if use_sem else None,
         points_label=cloud.label if use_sem else None,
         points_label_prob=cloud.label_prob if use_sem else None,
-        key=ks, semantic_guidance=use_sem, knn_mode=cfg.knn_mode)
+        key=ks, semantic_guidance=use_sem, knn_mode=cfg.knn_mode,
+        dedup_tile=cfg.dedup_tile, dedup_cap=cfg.dedup_cap)
 
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,

@@ -150,7 +150,7 @@ def _neighbor_offsets(kernel_size):
 
 
 @partial(jax.jit, static_argnames=("K", "SR", "semantic_guidance",
-                                   "knn_mode"))
+                                   "knn_mode", "dedup_tile", "dedup_cap"))
 def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     raypos: jnp.ndarray, K: int, SR: int,
                     radius_limit: float | jnp.ndarray,
@@ -159,13 +159,22 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     points_label_prob: Optional[jnp.ndarray] = None,
                     key: Optional[jax.Array] = None,
                     semantic_guidance: bool = False,
-                    knn_mode: str = "exact") -> QueryResult:
+                    knn_mode: str = "exact",
+                    dedup_tile: int = 64,
+                    dedup_cap: int = 160) -> QueryResult:
     """Full query pipeline: sample masking -> SR compaction -> KNN.
 
     points_xyz: (N,3) the full (padded) point store; raypos: (B,R,D,3).
     radius_limit: scalar, 0 disables the radius test.
     With semantic_guidance: ray_label (B,R) int, points_label (N,) int,
     points_label_prob (N,C) float, key a PRNG key.
+    knn_mode "dedup" (raster rendering): tiles of `dedup_tile` consecutive
+    rays gather each DISTINCT cache row once (<= `dedup_cap` per tile) and
+    redistribute in-kernel — adjacent raster rays traverse the same voxels
+    (9-23x fewer gather rows, probe_tile_unique.py). Exact vs "fused"/
+    "exact" when no tile exceeds dedup_cap distinct voxels; overflowed
+    shading points degrade to no neighbors. Random/shuffled ray batches
+    (training) should keep "fused".
     """
     spec = grid.spec
     B, R, D, _ = raypos.shape
@@ -195,28 +204,51 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         # (8,128) HBM layout and crashes on dynamic row slices; the working
         # (T,8,128) tile layout would amplify the cache 6.4x in HBM
         # (dev_scripts/probe_pallas_cache.py, PERFORMANCE.md).
-        if (knn_mode == "fused" and not semantic_guidance
+        if (knn_mode in ("fused", "dedup") and not semantic_guidance
                 and spec.cache_dtype == "bfloat16"):
-            # no optimization_barrier here: the kernel is the gather's ONLY
-            # consumer, and the barrier forced an 11.5 ms relayout copy
-            # (xprof copy.179) between the gather and the kernel
-            rows = grid.nbr_packed[slot_c]
-            # fused Pallas select (ops/fused_knn.py): consumes the gathered
-            # planar rows directly, skipping the XLA unpack / (M,C,3)
-            # materialization / sort-based top_k. Exact same selection as
-            # the path below (ties in candidate order). Semantic guidance
-            # (a train-time sampler) keeps the XLA path.
-            from .fused_knn import fused_knn_select
             center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \
                 + spec.min_corner_arr
             Mq = B * R * SR
-            Cc = rows.shape[-1] // 5
+            Cc = grid.nbr_packed.shape[-1] // 5
             r2 = jnp.asarray(radius_limit, jnp.float32) ** 2
-            sel = fused_knn_select(
-                rows.reshape(Mq, -1),
-                (sample_loc_w - center).reshape(Mq, 3),
-                slot_ok.reshape(Mq), r2, C=Cc, K=K)
-            sample_pidx = sel.reshape(B, R, SR, K)
+            delta = (sample_loc_w - center).reshape(Mq, 3)
+            okf = slot_ok.reshape(Mq)
+            if knn_mode == "dedup":
+                # tile-dedup: one cache-row gather per DISTINCT slot per
+                # tile of dedup_tile consecutive (raster-adjacent) rays;
+                # the kernel redistributes rows with an exact one-hot MXU
+                # matmul (ops/fused_knn.py tile_unique/_kernel_tiled)
+                from .fused_knn import tile_unique, fused_knn_select_tiled
+                T = dedup_tile * SR
+                U = dedup_cap
+                pad = (-Mq) % T
+                slot_f = slot.reshape(Mq)
+                if pad:
+                    slot_f = jnp.pad(slot_f, (0, pad), constant_values=-1)
+                    okf_p = jnp.pad(okf, (0, pad))
+                    delta_p = jnp.pad(delta, ((0, pad), (0, 0)))
+                else:
+                    okf_p, delta_p = okf, delta
+                uniq, inv = tile_unique(slot_f, okf_p, T, U)
+                rows = grid.nbr_packed[
+                    jnp.clip(uniq, 0, max_d - 1).reshape(-1)]
+                sel = fused_knn_select_tiled(
+                    rows, inv, delta_p, okf_p, r2, C=Cc, K=K, T=T, U=U)
+                sample_pidx = sel[:Mq].reshape(B, R, SR, K)
+            else:
+                # no optimization_barrier here: the kernel is the gather's
+                # ONLY consumer, and the barrier forced an 11.5 ms relayout
+                # copy (xprof copy.179) between the gather and the kernel
+                rows = grid.nbr_packed[slot_c]
+                # fused Pallas select (ops/fused_knn.py): consumes the
+                # gathered planar rows directly, skipping the XLA unpack /
+                # (M,C,3) materialization / sort-based top_k. Exact same
+                # selection as the path below (ties in candidate order).
+                # Semantic guidance (a train-time sampler) keeps XLA.
+                from .fused_knn import fused_knn_select
+                sel = fused_knn_select(
+                    rows.reshape(Mq, -1), delta, okf, r2, C=Cc, K=K)
+                sample_pidx = sel.reshape(B, R, SR, K)
             ray_mask = jnp.any(sample_pidx.reshape(B, R, -1) >= 0, axis=-1)
             return QueryResult(
                 sample_pidx=sample_pidx,

@@ -78,3 +78,81 @@ def test_fused_knn_semantic_falls_back(scene):
                         key=jax.random.key(0), semantic_guidance=True,
                         knn_mode="fused")
     assert int(jnp.sum(q.sample_pidx >= 0)) > 0
+
+
+def test_tile_unique_matches_numpy():
+    from sgnerf_tpu.ops.fused_knn import tile_unique
+    rng = np.random.default_rng(7)
+    M, T, U = 1024, 128, 16
+    slot = rng.integers(0, 40, size=(M,)).astype(np.int32)
+    ok = rng.random(M) < 0.8
+    uniq, inv = jax.jit(tile_unique, static_argnums=(2, 3))(
+        jnp.asarray(slot), jnp.asarray(ok), T, U)
+    uniq, inv = np.asarray(uniq), np.asarray(inv)
+    for t in range(M // T):
+        sl = slot[t * T:(t + 1) * T]
+        okt = ok[t * T:(t + 1) * T]
+        expect = np.unique(sl[okt])[:U]  # U smallest distinct valid slots
+        got = uniq[t][uniq[t] >= 0]
+        np.testing.assert_array_equal(got, expect)
+        for i in range(T):
+            v = inv[t * T + i]
+            if okt[i] and sl[i] in expect:
+                assert uniq[t][v] == sl[i]
+            else:
+                assert v == U
+
+
+def test_dedup_knn_matches_exact(scene):
+    # cap == tile rows: no tile can overflow -> bitwise-equal selection
+    cloud, grid, raypos = scene
+    q0 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16)
+    q1 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16, knn_mode="dedup",
+                         dedup_tile=32, dedup_cap=256)
+    np.testing.assert_array_equal(np.asarray(q0.sample_pidx),
+                                  np.asarray(q1.sample_pidx))
+    np.testing.assert_array_equal(np.asarray(q0.ray_mask),
+                                  np.asarray(q1.ray_mask))
+    assert int(jnp.sum(q1.sample_pidx >= 0)) > 100
+
+
+def test_dedup_knn_no_radius_limit(scene):
+    cloud, grid, raypos = scene
+    q0 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.0)
+    q1 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.0, knn_mode="dedup",
+                         dedup_tile=32, dedup_cap=256)
+    np.testing.assert_array_equal(np.asarray(q0.sample_pidx),
+                                  np.asarray(q1.sample_pidx))
+
+
+def test_dedup_knn_overflow_degrades_to_no_neighbors(scene):
+    # tiny cap: overflowed shading points must return -1 rows (never wrong
+    # ids); the non-overflowed ones still match the exact path
+    cloud, grid, raypos = scene
+    q0 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16)
+    q1 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16, knn_mode="dedup",
+                         dedup_tile=32, dedup_cap=8)
+    p0 = np.asarray(q0.sample_pidx).reshape(-1, 4)
+    p1 = np.asarray(q1.sample_pidx).reshape(-1, 4)
+    dropped = np.all(p1 == -1, axis=-1) & ~np.all(p0 == -1, axis=-1)
+    kept = ~np.all(p1 == -1, axis=-1)
+    np.testing.assert_array_equal(p1[kept], p0[kept])
+    assert dropped.any()  # the tiny cap must actually overflow here
+
+
+def test_dedup_knn_uneven_tile_padding(scene):
+    # M = B*R*SR = 2048 not divisible by T = 24*8 = 192 -> padded path
+    cloud, grid, raypos = scene
+    q0 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16)
+    q1 = query_neighbors(grid, cloud.xyz, raypos, K=4, SR=8,
+                         radius_limit=0.16, knn_mode="dedup",
+                         dedup_tile=24, dedup_cap=192)
+    np.testing.assert_array_equal(np.asarray(q0.sample_pidx),
+                                  np.asarray(q1.sample_pidx))
