@@ -35,6 +35,34 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _select_k(d2, pidx, K: int, C: int, BIG):
+    """K-round first-match argmin over the lane axis: exact XLA-top_k
+    semantics (smallest d2, ties by candidate order), two cross-lane
+    reductions per round.
+
+    Lane-reductions are the kernel's hot loop; the tie-break lane AND its
+    point id come out of ONE packed min-reduce — `lane << 25 | pidx` is
+    order-correct because lanes are distinct within the tie set (lane <=
+    63 so 63 << 25 stays under 2^31) — and `got` falls out of the d2
+    minimum (m < BIG) with no reduction at all (2 lane-reductions per
+    round vs 4 in the naive formulation; point capacity bound 2^25 =
+    33.5M ids, asserted by the caller)."""
+    assert C <= 64, C
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    IMAX = jnp.int32(2 ** 31 - 1)
+    outs = []
+    for _ in range(K):
+        m = jnp.min(d2, axis=-1, keepdims=True)            # (TS,1)
+        got = m < BIG
+        ismin = (d2 == m) & got
+        w = jnp.min(jnp.where(ismin, (lane << 25) | pidx, IMAX),
+                    axis=-1, keepdims=True)                # (TS,1)
+        outs.append(jnp.where(got, w & ((1 << 25) - 1), -1))
+        first = ismin & (lane == (w >> 25))
+        d2 = jnp.where(first, BIG, d2)
+    return jnp.concatenate(outs, axis=-1)                  # (TS, K)
+
+
 def _kernel(rows_ref, delta_ref, ok_ref, r2_ref, out_ref, *, C: int, K: int):
     rows = rows_ref[...]                       # (TS, 5*C) int16 planar
     x = pltpu.bitcast(rows[:, 0 * C:1 * C], jnp.bfloat16).astype(jnp.float32)
@@ -57,20 +85,7 @@ def _kernel(rows_ref, delta_ref, ok_ref, r2_ref, out_ref, *, C: int, K: int):
     BIG = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     d2 = jnp.where(ok, d2, BIG)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    outs = []
-    for _ in range(K):
-        m = jnp.min(d2, axis=-1, keepdims=True)            # (TS,1)
-        ismin = (d2 == m) & (m < BIG)
-        # first tie in candidate order (matches XLA top_k's tie-break):
-        # no cumsum on Mosaic — min-reduce the lane index instead
-        idxmin = jnp.min(jnp.where(ismin, lane, C), axis=-1, keepdims=True)
-        first = ismin & (lane == idxmin)
-        got = jnp.any(first, axis=-1, keepdims=True)       # (TS,1)
-        sel = jnp.sum(jnp.where(first, pidx, 0), axis=-1, keepdims=True)
-        outs.append(jnp.where(got, sel, -1))
-        d2 = jnp.where(first, BIG, d2)
-    out_ref[...] = jnp.concatenate(outs, axis=-1)          # (TS, K)
+    out_ref[...] = _select_k(d2, pidx, K, C, BIG)
 
 
 def tile_unique(slot: jnp.ndarray, ok: jnp.ndarray, T: int, U: int):
@@ -161,18 +176,7 @@ def _kernel_tiled(rows_ref, inv_ref, delta_ref, ok_ref, r2_ref, out_ref, *,
     BIG = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     d2 = jnp.where(ok, d2, BIG)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    outs = []
-    for _ in range(K):
-        m = jnp.min(d2, axis=-1, keepdims=True)
-        ismin = (d2 == m) & (m < BIG)
-        idxmin = jnp.min(jnp.where(ismin, lane, C), axis=-1, keepdims=True)
-        first = ismin & (lane == idxmin)
-        got = jnp.any(first, axis=-1, keepdims=True)
-        sel = jnp.sum(jnp.where(first, pidx, 0), axis=-1, keepdims=True)
-        outs.append(jnp.where(got, sel, -1))
-        d2 = jnp.where(first, BIG, d2)
-    out_ref[...] = jnp.concatenate(outs, axis=-1)          # (T, K)
+    out_ref[...] = _select_k(d2, pidx, K, C, BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "K", "T", "U"))
@@ -237,6 +241,8 @@ def fused_knn_select(rows: jnp.ndarray,       # (M, 5*C) int16 planar rows
     delta = jax.lax.stop_gradient(delta)
     M = rows.shape[0]
     TS = 512
+    assert rows.shape[1] // 5 <= 64 and C <= 64, \
+        "packed-lane select supports C<=64 (see _select_k)"
     pad = (-M) % TS
     if pad:
         rows = jnp.pad(rows, ((0, pad), (0, 0)))

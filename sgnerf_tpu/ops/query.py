@@ -206,6 +206,10 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         # (dev_scripts/probe_pallas_cache.py, PERFORMANCE.md).
         if (knn_mode in ("fused", "dedup") and not semantic_guidance
                 and spec.cache_dtype == "bfloat16"):
+            # packed lane<<25|pidx min-reduce in the select kernel
+            # (fused_knn._select_k) bounds usable point ids to 2^25
+            assert N < (1 << 25), \
+                f"fused knn supports < 2^25 points (N={N}); use knn_mode=exact"
             center = (cc.astype(jnp.float32) + 0.5) * spec.vsize_arr \
                 + spec.min_corner_arr
             Mq = B * R * SR
