@@ -199,7 +199,11 @@ def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
     Dd = d.shape[-1]
     C = block1[0]["w"].shape[1]
 
-    TM = 256
+    # tile-size sweep (bench, rays/s): 256 -> 79.9k, 320 -> 82.8k (+3.6%,
+    # the kernel was invocation-overhead-bound), 352 -> 82.7k (saturated),
+    # 512 -> scoped-VMEM OOM (22.4 MB vs the 16 MB limit, ~44 KB/row of
+    # scratch). 320 keeps headroom for wider rows (semantic embedding)
+    TM = 320
     pad = (-M) % TM
     if pad:
         feat = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))

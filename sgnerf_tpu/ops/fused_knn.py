@@ -240,6 +240,8 @@ def fused_knn_select(rows: jnp.ndarray,       # (M, 5*C) int16 planar rows
     # when the query runs inside a differentiated train step
     delta = jax.lax.stop_gradient(delta)
     M = rows.shape[0]
+    # block-size sweep: TS=2048 measured a wash vs 512 (82.6k vs 82.8k
+    # rays/s) — unlike the agg kernel this one is not invocation-bound
     TS = 512
     assert rows.shape[1] // 5 <= 64 and C <= 64, \
         "packed-lane select supports C<=64 (see _select_k)"
