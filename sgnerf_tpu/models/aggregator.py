@@ -368,10 +368,29 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         and cfg.agg_intrp_order == 2
         and cfg.agg_distance_kernel not in ("trilinear", "sh_intrp",
                                             "gau_intrp"))
-    if use_fused:
+    color = None
+    if use_fused and cfg.num_viewdir_freqs > 0:
         # one VMEM-resident Pallas kernel for PE -> block1 -> alpha head ->
-        # weighted K-reduction (ops/fused_agg.py); exact same function of
-        # the weights as the XLA path below
+        # weighted K-reduction -> color branch on the reduced features
+        # (ops/fused_agg.py): the (M, C+1) intermediate and the XLA color
+        # stage's concat/relayout copies never touch HBM
+        from ..ops.fused_agg import fused_block1_alpha_color
+        M = B * R * SR
+        wm = (weight * conf_coefficient) * mask.astype(weight.dtype)
+        al, rawc = fused_block1_alpha_color(
+            sampled_embedding.reshape(M, K, -1).astype(jnp.float32),
+            d.reshape(M, K, -1).astype(jnp.float32),
+            wm.reshape(M, K).astype(jnp.float32),
+            ori_viewdirs.reshape(M, 3).astype(jnp.float32),
+            params["block1"], params["alpha_branch"],
+            params["color_branch"],
+            K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
+            vf=cfg.num_viewdir_freqs,
+            bf16=(cfg.compute_dtype == "bfloat16"))
+        alpha = al.reshape(B, R, SR, 1)
+        color = raw2out_color(cfg, rawc.reshape(B, R, SR, 3))
+    elif use_fused:
+        # no viewdir PE -> color branch stays in XLA; fuse block1+alpha only
         from ..ops.fused_agg import fused_block1_alpha
         M = B * R * SR
         wm = (weight * conf_coefficient) * mask.astype(weight.dtype)
@@ -430,10 +449,11 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         feat = feat * mask[..., None]
         feat_agg = jnp.sum(feat * w, axis=-2)           # (B,R,SR,C)
 
-    color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)
-    raw_color = _mlp_apply(cfg, params["color_branch"], color_in,
-                           act_last=False)
-    color = raw2out_color(cfg, raw_color)
+    if color is None:
+        color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)
+        raw_color = _mlp_apply(cfg, params["color_branch"], color_in,
+                               act_last=False)
+        color = raw2out_color(cfg, raw_color)
 
     decoded = jnp.concatenate([alpha, color], axis=-1)   # (B,R,SR,4)
     decoded = decoded * ray_valid[..., None].astype(decoded.dtype)

@@ -90,17 +90,23 @@ def _freq_major(x: jnp.ndarray, freqs: int) -> jnp.ndarray:
     return jnp.concatenate([x * (2.0 ** f) for f in range(freqs)], axis=-1)
 
 
-def _kernel(feat_ref, d_ref, w_ref,
-            wf_ref, wsin_ref, wcos_ref, b1_ref,
-            rest_w_refs, rest_b_refs, wa_ref, ba_ref,
-            out_ref, *, K: int, nf: int, df: int, bf16: bool,
-            n_rest: int):
+def _dot_mm(bf16):
     mm = jnp.bfloat16 if bf16 else jnp.float32
 
     def dot(a, b):
         return jnp.dot(a.astype(mm), b.astype(mm),
                        preferred_element_type=jnp.float32)
+    return dot
 
+
+def _block1_alpha_body(feat_ref, d_ref, w_ref,
+                       wf_ref, wsin_ref, wcos_ref, b1_ref,
+                       rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+                       *, K: int, nf: int, df: int, bf16: bool,
+                       n_rest: int):
+    """Shared kernel body: PE -> block1 -> per-neighbor alpha -> weighted
+    K-reduction. Returns (TM, C+1) f32 [feat_agg | alpha_agg]."""
+    dot = _dot_mm(bf16)
     TMK, F = feat_ref.shape
     TM = TMK // K
     feat = feat_ref[...]                       # (TMK, F) point-major rows
@@ -129,7 +135,69 @@ def _kernel(feat_ref, d_ref, w_ref,
     # layout no-op — K=8 becomes the sublane dim) and reduce over it.
     # No selector matmul (O(M*K*C*TM), profiled 16 ms/chunk) and no XLA
     # transpose to neighbor-major (profiled ~13 ms of copies).
-    out_ref[...] = jnp.sum(z2.reshape(TM, K, z2.shape[-1]), axis=1)
+    return jnp.sum(z2.reshape(TM, K, z2.shape[-1]), axis=1)
+
+
+def _kernel(feat_ref, d_ref, w_ref,
+            wf_ref, wsin_ref, wcos_ref, b1_ref,
+            rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+            out_ref, *, K: int, nf: int, df: int, bf16: bool,
+            n_rest: int):
+    out_ref[...] = _block1_alpha_body(
+        feat_ref, d_ref, w_ref, wf_ref, wsin_ref, wcos_ref, b1_ref,
+        rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+        K=K, nf=nf, df=df, bf16=bf16, n_rest=n_rest)
+
+
+def _kernel_color(feat_ref, d_ref, w_ref, vd_ref,
+                  wf_ref, wsin_ref, wcos_ref, b1_ref,
+                  rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+                  cwf_ref, cwsin_ref, cwcos_ref, cb0_ref,
+                  crest_w_refs, crest_b_refs,
+                  out_ref, *, K: int, nf: int, df: int, vf: int,
+                  bf16: bool, n_rest: int, n_crest: int):
+    """block1+alpha body, then the COLOR branch on the K-reduced features:
+    [feat_agg | PE(viewdir)] -> color MLP (LeakyReLU between layers, raw
+    logits out). Runs on TM rows (8x fewer than the per-neighbor stage, so
+    it adds ~1 us/block) and shrinks the kernel output from (TM, C+1) to
+    (TM, 4) — the (M,257) f32 HBM round-trip plus the XLA color stage's
+    concat/relayout copies disappear (reference viewmlp color head,
+    point_aggregators.py:743-780)."""
+    red = _block1_alpha_body(
+        feat_ref, d_ref, w_ref, wf_ref, wsin_ref, wcos_ref, b1_ref,
+        rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+        K=K, nf=nf, df=df, bf16=bf16, n_rest=n_rest)
+    C = red.shape[-1] - 1
+    fa = red[:, :C]                            # (TM, C) weighted features
+    alpha = red[:, C:]                         # (TM, 1)
+
+    dot = _dot_mm(bf16)
+    zv = _freq_major(vd_ref[...], vf)          # (TM, 3*vf) freq-major
+    hc = (dot(fa, cwf_ref[...])
+          + dot(jnp.sin(zv), cwsin_ref[...])
+          + dot(jnp.cos(zv), cwcos_ref[...]) + cb0_ref[...])
+    if n_crest > 0:                            # layer 0 is last when alone
+        hc = jax.nn.leaky_relu(hc, negative_slope=0.01)
+    for i in range(n_crest):
+        hc = dot(hc, crest_w_refs[i][...]) + crest_b_refs[i][...]
+        if i < n_crest - 1:                    # raw logits out (act_last=False)
+            hc = jax.nn.leaky_relu(hc, negative_slope=0.01)
+    out_ref[...] = jnp.concatenate([alpha, hc], axis=-1)   # (TM, 1+3)
+
+
+def _permute_wc(w0: jnp.ndarray, C: int, Dv: int, vf: int):
+    """Split the color branch's first weight matrix — rows ordered for the
+    reference's [feat_agg | PE(viewdir)] input, whose viewdir PE is
+    channel-major [sin(c*vf+f) | cos(c*vf+f)] (ops/pe.py ori=True with the
+    raw dirs split off, aggregator.py:348-350) — into (Wfeat, Wsin, Wcos)
+    with PE rows permuted frequency-major to match `_freq_major`."""
+    Wfeat = w0[:C]
+    c = np.arange(Dv)[:, None]
+    f = np.arange(vf)[None, :]
+    rows = (C + c * vf + f).T.reshape(-1)      # freq-major: row[f*Dv+c]
+    Wsin = w0[rows]
+    Wcos = w0[rows + Dv * vf]
+    return Wfeat, Wsin, Wcos
 
 
 def _xla_ref(cfgt, feat, d, w, block1, alpha_branch):
@@ -179,6 +247,48 @@ def _fused_bwd(cfgt, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _xla_ref_color(cfgt2, feat, d, w, vd, block1, alpha_branch,
+                   color_branch):
+    """Un-fused statement of the color-fused kernel's function (mirrors
+    aggregate()'s fused tail, aggregator.py:433-435); the backward-pass
+    recompute target of `_fused_color`'s custom_vjp."""
+    K, nf, df, vf, bf16 = cfgt2
+    from .pe import positional_encoding
+    fa, al = _xla_ref((K, nf, df, bf16), feat, d, w, block1, alpha_branch)
+    pe = positional_encoding(vd, vf, ori=True)[..., 3:]
+    x = jnp.concatenate([fa, pe], axis=-1)
+    for i, l in enumerate(color_branch):
+        if bf16:
+            x = jnp.dot(x.astype(jnp.bfloat16), l["w"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + l["b"]
+        else:
+            x = x @ l["w"] + l["b"]
+        if i < len(color_branch) - 1:
+            x = jax.nn.leaky_relu(x, negative_slope=0.01)
+    return jnp.concatenate([al, x], axis=-1)   # (M, 4), matches the kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_color(cfgt2, feat, d, w, vd, block1, alpha_branch, color_branch):
+    return _pallas_forward_color(cfgt2, feat, d, w, vd, block1,
+                                 alpha_branch, color_branch)
+
+
+def _fused_color_fwd(cfgt2, feat, d, w, vd, block1, alpha_branch,
+                     color_branch):
+    out = _pallas_forward_color(cfgt2, feat, d, w, vd, block1,
+                                alpha_branch, color_branch)
+    return out, (feat, d, w, vd, block1, alpha_branch, color_branch)
+
+
+def _fused_color_bwd(cfgt2, res, g):
+    _, vjp = jax.vjp(lambda *a: _xla_ref_color(cfgt2, *a), *res)
+    return vjp(g)
+
+
+_fused_color.defvjp(_fused_color_fwd, _fused_color_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "nf", "df", "bf16"))
 def fused_block1_alpha(feat: jnp.ndarray,      # (M, K, F) f32
                        d: jnp.ndarray,         # (M, K, Dd)
@@ -191,6 +301,109 @@ def fused_block1_alpha(feat: jnp.ndarray,      # (M, K, F) f32
     Differentiable (XLA-recompute backward)."""
     assert len(alpha_branch) == 1, "fused path needs a 1-layer alpha head"
     return _fused((K, nf, df, bf16), feat, d, w, block1, alpha_branch)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "nf", "df", "vf", "bf16"))
+def fused_block1_alpha_color(feat: jnp.ndarray,  # (M, K, F) f32
+                             d: jnp.ndarray,     # (M, K, Dd)
+                             w: jnp.ndarray,     # (M, K) weight*conf (0=mask)
+                             vd: jnp.ndarray,    # (M, 3) rotated viewdirs
+                             block1: List[Dict[str, jnp.ndarray]],
+                             alpha_branch: List[Dict[str, jnp.ndarray]],
+                             color_branch: List[Dict[str, jnp.ndarray]],
+                             *, K: int, nf: int, df: int, vf: int,
+                             bf16: bool):
+    """Returns (alpha (M, 1), raw_color (M, 3) pre-raw2out logits). The
+    color branch runs in-kernel on the K-reduced features, so the (M, C+1)
+    intermediate never touches HBM. Requires a 1-layer alpha head and
+    vf > 0. Differentiable (XLA-recompute backward)."""
+    assert len(alpha_branch) == 1, "fused path needs a 1-layer alpha head"
+    assert vf > 0, "fused color head needs PE'd viewdirs"
+    out = _fused_color((K, nf, df, vf, bf16), feat, d, w, vd, block1,
+                       alpha_branch, color_branch)
+    return out[:, 0:1], out[:, 1:4]
+
+
+def _pallas_forward_color(cfgt2, feat, d, w, vd, block1, alpha_branch,
+                          color_branch):
+    K, nf, df, vf, bf16 = cfgt2
+    M, Kk, F = feat.shape
+    Dd = d.shape[-1]
+    C = block1[0]["w"].shape[1]
+
+    TM = 320                                   # see _pallas_forward's sweep
+    pad = (-M) % TM
+    if pad:
+        feat = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+        vd = jnp.pad(vd, ((0, pad), (0, 0)))
+    Mp = M + pad
+
+    feat2 = feat.reshape(Mp * K, F)
+    d2 = d.reshape(Mp * K, Dd)
+    w2 = w.reshape(Mp * K, 1)
+
+    Wf, WsinF, WcosF, WsinD, WcosD = _permute_w1(block1[0]["w"], F, nf, Dd, df)
+    Wsin = jnp.concatenate([WsinF, WsinD], axis=0)
+    Wcos = jnp.concatenate([WcosF, WcosD], axis=0)
+    b1 = block1[0]["b"].reshape(1, C)
+    rest_w = tuple(l["w"] for l in block1[1:])
+    rest_b = tuple(l["b"].reshape(1, C) for l in block1[1:])
+    wa = alpha_branch[0]["w"].reshape(1, C)
+    ba = alpha_branch[0]["b"].reshape(1, 1)
+
+    Cc0 = color_branch[0]["w"].shape[1]
+    CWf, CWsin, CWcos = _permute_wc(color_branch[0]["w"], C, 3, vf)
+    cb0 = color_branch[0]["b"].reshape(1, Cc0)
+    crest_w = tuple(l["w"] for l in color_branch[1:])
+    crest_b = tuple(l["b"].reshape(1, -1) for l in color_branch[1:])
+
+    n_rest = len(rest_w)
+    n_crest = len(crest_w)
+    grid = (Mp // TM,)
+
+    def row_spec(cols, rows_per=None):
+        return pl.BlockSpec(((rows_per or TM * K), cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_color, K=K, nf=nf, df=df, vf=vf, bf16=bf16,
+        n_rest=n_rest, n_crest=n_crest)
+
+    def wrapped(f_r, d_r, w_r, vd_r, wf_r, wsin_r, wcos_r, b1_r, *rest):
+        rw = rest[:n_rest]
+        rb = rest[n_rest:2 * n_rest]
+        wa_r, ba_r, cwf_r, cwsin_r, cwcos_r, cb0_r = \
+            rest[2 * n_rest:2 * n_rest + 6]
+        crw = rest[2 * n_rest + 6:2 * n_rest + 6 + n_crest]
+        crb = rest[2 * n_rest + 6 + n_crest:2 * n_rest + 6 + 2 * n_crest]
+        out_r = rest[-1]
+        kernel(f_r, d_r, w_r, vd_r, wf_r, wsin_r, wcos_r, b1_r,
+               rw, rb, wa_r, ba_r, cwf_r, cwsin_r, cwcos_r, cb0_r,
+               crw, crb, out_r)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[row_spec(F), row_spec(Dd), row_spec(1),
+                  row_spec(3, rows_per=TM),
+                  full(Wf), full(Wsin), full(Wcos), full(b1)]
+        + [full(x) for x in rest_w] + [full(x) for x in rest_b]
+        + [full(wa), full(ba),
+           full(CWf), full(CWsin), full(CWcos), full(cb0)]
+        + [full(x) for x in crest_w] + [full(x) for x in crest_b],
+        out_specs=pl.BlockSpec((TM, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
+        interpret=_interpret(),
+    )(feat2, d2, w2, vd, Wf, Wsin, Wcos, b1, *rest_w, *rest_b, wa, ba,
+      CWf, CWsin, CWcos, cb0, *crest_w, *crest_b)
+    return out[:M]
 
 
 def _pallas_forward(cfgt, feat, d, w, block1, alpha_branch):
