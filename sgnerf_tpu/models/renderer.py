@@ -98,6 +98,14 @@ class RenderConfig:
     #                                  it): "uniform" | "gaussian" | off
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
     #                                  traffic (compute stays f32)
+    gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
+    #                                  makes the quantized attribute table an
+    #                                  unbiased estimator of the f32 master
+    #                                  (ops/quant.py) — recovers the 0.5 dB
+    #                                  the nearest-rounded cast costs when
+    #                                  TRAINING through the bf16 gather.
+    #                                  Train-time only (needs a key; eval
+    #                                  renders stay deterministic).
 
     @property
     def radius_limit(self) -> float:
@@ -119,9 +127,9 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
     B, R, _ = raydir.shape
     agg = cfg.agg
 
-    kj = ks = None
+    kj = ks = kg = None
     if key is not None:
-        kj, ks = jax.random.split(key)
+        kj, ks, kg = jax.random.split(key, 3)
 
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, _ = raygen(
@@ -141,11 +149,12 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
 
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,
-                            camrotc2w, bg_color, prob)
+                            camrotc2w, bg_color, prob,
+                            key=kg if is_train else None)
 
 
 def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
-                         campos, raydir, camrotc2w):
+                         campos, raydir, camrotc2w, key=None):
     """Neighbor-attribute gather + per-neighbor MLP aggregation (everything
     between the query and the volume march). Shared by the single-device
     paths below and by the spatially-sharded renderer (parallel/spatial.py),
@@ -167,7 +176,14 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
         [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
         + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
     if cfg.gather_dtype == "bfloat16":
-        packed = packed.astype(jnp.bfloat16)
+        if cfg.gather_round == "stochastic" and key is not None:
+            # train-time: unbiased quantization of the attribute table
+            # (E[table] == f32 master) so optimizing through the bf16
+            # gather sees zero-mean noise, not a systematic bias
+            from ..ops.quant import stochastic_round_bf16
+            packed = stochastic_round_bf16(packed, key)
+        else:
+            packed = packed.astype(jnp.bfloat16)
     # NOTE: gather_rows (sort+segment_sum backward) measured SLOWER than the
     # default scatter-add transpose at 1024-ray batches (137.5 vs 128 ms
     # train step) — plain gather kept; revisit at larger batches (NEXT.md)
@@ -238,13 +254,14 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
 
 
 def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
-                     campos, raydir, camrotc2w, bg_color, prob):
+                     campos, raydir, camrotc2w, bg_color, prob, key=None):
     """Everything downstream of the neighbor query: gather -> aggregate ->
     march -> outputs (shared by the world- and perspective-space paths)."""
     B, R, _ = raydir.shape
     (decoded, ray_valid, weight, conf_coefficient, sample_loc,
      sampled) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
-                                     sample_loc_w, campos, raydir, camrotc2w)
+                                     sample_loc_w, campos, raydir, camrotc2w,
+                                     key=key)
     sampled_xyz, sampled_embedding = sampled["xyz"], sampled["embedding"]
     sampled_color, sampled_dir = sampled["color"], sampled["dir"]
     sampled_conf = sampled["conf"]
@@ -315,9 +332,9 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
     from ..ops.query_pers import query_neighbors_perspective
     from ..ops.camera import pers2w
 
-    kj = ks = None
+    kj = ks = kg = None
     if key is not None:
-        kj, ks = jax.random.split(key)
+        kj, ks, kg = jax.random.split(key, 3)
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, _ = raygen(
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
@@ -350,4 +367,4 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
     loc_w = jnp.where(res.sample_loc_mask[..., None], loc_w, 0.0)
     return _shade_and_march(params, cloud, cfg, res.sample_pidx, loc_w,
                             res.ray_mask, campos, raydir, camrotc2w,
-                            bg_color, prob)
+                            bg_color, prob, key=kg if is_train else None)

@@ -140,6 +140,10 @@ _F = [
     # TPU-only perf knobs (no reference counterpart): bf16 attribute gather
     # (+41% render, PERFORMANCE.md) and bf16 shading-MLP matmuls
     ("gather_dtype", str, "float32", None),
+    # bf16-table rounding: "stochastic" = unbiased quantization (train-time
+    # only; recovers the ~0.5 dB nearest rounding costs when training
+    # through a bf16 gather — ops/quant.py)
+    ("gather_round", str, "nearest", None),
     ("compute_dtype", str, "float32", None),
     # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
     # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
@@ -276,6 +280,10 @@ def configs_from_opt(opt):
         v = getattr(opt, f)
         if v not in ("float32", "bfloat16"):
             raise ValueError(f"--{f} must be float32 or bfloat16, got {v!r}")
+    gr = getattr(opt, "gather_round", "nearest")
+    if gr not in ("nearest", "stochastic"):
+        raise ValueError(
+            f"--gather_round must be nearest or stochastic, got {gr!r}")
     fused = getattr(opt, "fused_mlp", "auto")
     if fused not in ("auto", "pallas", "none"):
         raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")
@@ -333,6 +341,7 @@ def configs_from_opt(opt):
         semantic_guidance=opt.semantic_guidance,
         predict_semantic=opt.predict_semantic,
         gather_dtype=opt.gather_dtype,
+        gather_round=getattr(opt, "gather_round", "nearest"),
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,
         knn_mode=knn,

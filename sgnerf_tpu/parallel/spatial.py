@@ -346,7 +346,11 @@ def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
     exactly like render_rays (raygen jitter / semantic draws); NOTE the
     semantic Bernoulli draws index LOCAL candidate slots, so with a key the
     accepted neighbor sets are statistically but not bitwise identical to
-    the replicated path (deterministic with key=None)."""
+    the replicated path (deterministic with key=None). gather_round=
+    "stochastic" is NOT applied here (the per-shard attribute tables use
+    nearest rounding) so sharded gradients stay bitwise-checkable against
+    the replicated step; SR-bf16 training is a single-device/ray-DP
+    feature for now."""
     gspec = sspec.gspec
     B, R, _ = raydir.shape
 
