@@ -64,6 +64,10 @@ class AggregatorConfig:
     fused_mlp: str = "none"          # "pallas": VMEM-resident fused
     #                                  PE->block1->alpha->K-reduce kernel
     #                                  (ops/fused_agg.py, inference path)
+    fused_color: bool = True         # run the color head inside the fused
+    #                                  kernel too (only meaningful with
+    #                                  fused_mlp="pallas"); --fused_color off
+    #                                  falls back to the XLA color stage
 
     @property
     def dist_dim(self) -> int:
@@ -369,7 +373,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         and cfg.agg_distance_kernel not in ("trilinear", "sh_intrp",
                                             "gau_intrp"))
     color = None
-    if use_fused and cfg.num_viewdir_freqs > 0:
+    if use_fused and cfg.num_viewdir_freqs > 0 and cfg.fused_color:
         # one VMEM-resident Pallas kernel for PE -> block1 -> alpha head ->
         # weighted K-reduction -> color branch on the reduced features
         # (ops/fused_agg.py): the (M, C+1) intermediate and the XLA color

@@ -149,6 +149,9 @@ _F = [
     # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
     # CPU (interpret-mode compiles are slow); pallas/none force it
     ("fused_mlp", str, "auto", None),
+    # gate the in-kernel color head separately (A/B lever; "off" keeps the
+    # fused block1+alpha kernel but runs the color branch in XLA)
+    ("fused_color", str, "auto", None),
     # KNN select: exact (XLA top_k) | approx (lax.approx_max_k) | fused
     # (Pallas select over the gathered cache rows, ops/fused_knn.py) |
     # auto (fused on TPU with a bf16 cache, exact otherwise)
@@ -291,6 +294,9 @@ def configs_from_opt(opt):
         import jax
         # "axon" is the remote-TPU platform name; only plain CPU opts out
         fused = "none" if jax.default_backend() == "cpu" else "pallas"
+    fc = getattr(opt, "fused_color", "auto")
+    if fc not in ("auto", "on", "off"):
+        raise ValueError(f"--fused_color must be auto/on/off, got {fc!r}")
     knn = getattr(opt, "knn_mode", "auto")
     if knn not in ("auto", "exact", "approx", "fused"):
         raise ValueError(
@@ -326,6 +332,7 @@ def configs_from_opt(opt):
                      if opt.agg_axis_weight is not None else None),
         compute_dtype=opt.compute_dtype,
         fused_mlp=fused,
+        fused_color=(fc != "off"),
     )
     cfg = RenderConfig(
         agg=agg,
