@@ -5,9 +5,10 @@ the standard Wang et al. formulation with an 11x11 gaussian window and the
 same defaults skimage uses (gaussian_weights=True, sigma=1.5,
 use_sample_covariance=False) as called by the reference.
 
-LPIPS requires pretrained conv features; in this zero-egress environment the
-weights are unavailable, so `lpips()` returns None unless a weights file is
-supplied (documented stub, flag surface preserved).
+LPIPS is implemented in plain torch (utils/lpips.py, no torchvision) and
+loads pretrained weights from disk (torchvision backbone + lpips linear
+heads); in this zero-egress environment no weights ship, so `lpips()`
+returns None unless the user supplies them.
 """
 from __future__ import annotations
 
@@ -72,8 +73,13 @@ def ssim(img: np.ndarray, ref: np.ndarray, max_val: float = 1.0,
 
 def lpips(img: np.ndarray, ref: np.ndarray,
           net: str = "alex", weights_path: Optional[str] = None):
-    """Stub: needs pretrained features, unavailable offline. Returns None."""
-    return None
+    """LPIPS perceptual distance (utils/lpips.py: plain-torch AlexNet/VGG16
+    trunk + the lpips package's linear calibration, loaded from user-supplied
+    weight files). Returns None when no weights are on disk — this
+    environment has zero egress, so the metric is opt-in (reference behaves
+    the same when the lpips package is missing)."""
+    from .lpips import lpips_distance
+    return lpips_distance(img, ref, net=net, weights_dir=weights_path)
 
 
 def mse2psnr(mse: float, max_val: float = 1.0) -> float:
