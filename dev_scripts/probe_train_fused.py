@@ -1,6 +1,8 @@
-"""A/B the fused Pallas aggregator in the TRAINING step (kernel forward +
-XLA-recompute backward via custom_vjp) vs the plain XLA path, 1024-ray
-batches at bench scale."""
+"""A/B the fused Pallas aggregator in the TRAINING step vs the plain XLA
+path, 1024-ray batches at bench scale. Sweeps the backward too:
+fused_bwd=xla (custom_vjp recomputes the un-fused XLA path) vs
+fused_bwd=pallas (the fused backward kernel, ops/fused_agg.py
+_pallas_backward)."""
 import sys
 import time
 
@@ -45,7 +47,8 @@ def mk_batch(i, R=1024):
                 r.uniform(0, 1, (1, R, 3)).astype(np.float32))}
 
 
-for fused in ("none", "pallas"):
+for fused, fbwd in (("none", "xla"), ("pallas", "xla"),
+                    ("pallas", "pallas")):
     cloud = make_point_cloud(
         xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
         dir=xyz / np.linalg.norm(xyz, axis=-1, keepdims=True))
@@ -55,7 +58,7 @@ for fused in ("none", "pallas"):
         cache_dtype="bfloat16")
     grid = build_grid(cloud, spec)
     jax.block_until_ready(grid.bucket_pnts)
-    cfg = RenderConfig(agg=AggregatorConfig(fused_mlp=fused),
+    cfg = RenderConfig(agg=AggregatorConfig(fused_mlp=fused, fused_bwd=fbwd),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008,) * 3, gather_dtype="float32")
     tcfg = TrainConfig()
@@ -67,8 +70,8 @@ for fused in ("none", "pallas"):
     t0 = time.perf_counter()
     st, l = train_step(st, grid, cfg, tcfg, batches[0], keys[0])
     v0 = float(l["total"])
-    print(f"fused={fused}: compile {time.perf_counter()-t0:.1f}s "
-          f"loss={v0:.5f}")
+    print(f"fused={fused} bwd={fbwd}: compile "
+          f"{time.perf_counter()-t0:.1f}s loss={v0:.5f}")
     iters = 20
     t0 = time.perf_counter()
     last = None
@@ -77,4 +80,4 @@ for fused in ("none", "pallas"):
         last = l
     float(last["total"])
     dt1 = (time.perf_counter() - t0) / iters * 1e3
-    print(f"fused={fused}: {dt1:.1f} ms/step (pipelined)")
+    print(f"fused={fused} bwd={fbwd}: {dt1:.1f} ms/step (pipelined)")

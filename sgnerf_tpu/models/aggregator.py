@@ -68,6 +68,10 @@ class AggregatorConfig:
     #                                  kernel too (only meaningful with
     #                                  fused_mlp="pallas"); --fused_color off
     #                                  falls back to the XLA color stage
+    fused_bwd: str = "xla"           # backward of the fused kernel: "xla"
+    #                                  recomputes the un-fused path, "pallas"
+    #                                  runs the fused backward kernel
+    #                                  (ops/fused_agg.py _pallas_backward)
 
     @property
     def dist_dim(self) -> int:
@@ -390,7 +394,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             params["color_branch"],
             K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
             vf=cfg.num_viewdir_freqs,
-            bf16=(cfg.compute_dtype == "bfloat16"))
+            bf16=(cfg.compute_dtype == "bfloat16"), bwd=cfg.fused_bwd)
         alpha = al.reshape(B, R, SR, 1)
         color = raw2out_color(cfg, rawc.reshape(B, R, SR, 3))
     elif use_fused:
@@ -404,7 +408,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             wm.reshape(M, K).astype(jnp.float32),
             params["block1"], params["alpha_branch"],
             K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
-            bf16=(cfg.compute_dtype == "bfloat16"))
+            bf16=(cfg.compute_dtype == "bfloat16"), bwd=cfg.fused_bwd)
         alpha = al.reshape(B, R, SR, 1)
         feat_agg = fa.reshape(B, R, SR, -1)
     else:

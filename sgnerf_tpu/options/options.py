@@ -152,6 +152,9 @@ _F = [
     # gate the in-kernel color head separately (A/B lever; "off" keeps the
     # fused block1+alpha kernel but runs the color branch in XLA)
     ("fused_color", str, "auto", None),
+    # backward of the fused kernel: xla recompute (default) or the fused
+    # pallas backward kernel; "auto" = xla until the kernel is TPU-measured
+    ("fused_bwd", str, "auto", None),
     # KNN select: exact (XLA top_k) | approx (lax.approx_max_k) | fused
     # (Pallas select over the gathered cache rows, ops/fused_knn.py) |
     # auto (fused on TPU with a bf16 cache, exact otherwise)
@@ -297,6 +300,9 @@ def configs_from_opt(opt):
     fc = getattr(opt, "fused_color", "auto")
     if fc not in ("auto", "on", "off"):
         raise ValueError(f"--fused_color must be auto/on/off, got {fc!r}")
+    fb = getattr(opt, "fused_bwd", "auto")
+    if fb not in ("auto", "pallas", "xla"):
+        raise ValueError(f"--fused_bwd must be auto/pallas/xla, got {fb!r}")
     knn = getattr(opt, "knn_mode", "auto")
     if knn not in ("auto", "exact", "approx", "fused"):
         raise ValueError(
@@ -333,6 +339,7 @@ def configs_from_opt(opt):
         compute_dtype=opt.compute_dtype,
         fused_mlp=fused,
         fused_color=(fc != "off"),
+        fused_bwd=("pallas" if fb == "pallas" else "xla"),
     )
     cfg = RenderConfig(
         agg=agg,

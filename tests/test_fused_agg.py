@@ -116,3 +116,92 @@ def test_fused_bf16_close_to_f32():
         params, dataclasses.replace(cfg, fused_mlp="pallas",
                                     compute_dtype="bfloat16"), **kw)
     np.testing.assert_allclose(out_f32[0], out_bf16[0], atol=0.05)
+
+
+def _mk_mkd(rng, M, K=8, F=32, Dd=6):
+    feat = jnp.asarray(rng.normal(size=(M, K, F)).astype(np.float32)) * 0.2
+    d = jnp.asarray(rng.normal(size=(M, K, Dd)).astype(np.float32)) * 0.05
+    w = jnp.asarray((rng.random((M, K)) *
+                     (rng.random((M, K)) < 0.7)).astype(np.float32))
+    return feat, d, w
+
+
+def test_pallas_backward_matches_xla_backward():
+    # M = 300 spans 3 backward tiles (TM=128 -> Mp=384): exercises both the
+    # cross-tile weight-grad accumulation and the padded final tile
+    rng = np.random.default_rng(6)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(1), cfg)
+    feat, d, w = _mk_mkd(rng, 300)
+
+    def loss(bwd):
+        def f(feat, d, w, block1, alpha_branch):
+            fa, al = fused_block1_alpha(
+                feat, d, w, block1, alpha_branch, K=8,
+                nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
+                bf16=False, bwd=bwd)
+            return jnp.sum(fa ** 2) + 3.0 * jnp.sum(al ** 2)
+        return f
+
+    args = (feat, d, w, params["block1"], params["alpha_branch"])
+    g_xla = jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4))(*args)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5),
+        g_xla, g_pal)
+
+
+def test_pallas_backward_color_matches_xla_backward():
+    from sgnerf_tpu.ops.fused_agg import fused_block1_alpha_color
+    rng = np.random.default_rng(7)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(2), cfg)
+    M = 150
+    feat, d, w = _mk_mkd(rng, M)
+    vd = jnp.asarray(rng.normal(size=(M, 3)).astype(np.float32))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+
+    def loss(bwd):
+        def f(feat, d, w, vd, block1, alpha_branch, color_branch):
+            al, rawc = fused_block1_alpha_color(
+                feat, d, w, vd, block1, alpha_branch, color_branch, K=8,
+                nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
+                vf=cfg.num_viewdir_freqs, bf16=False, bwd=bwd)
+            return jnp.sum(rawc ** 2) + 3.0 * jnp.sum(al ** 2)
+        return f
+
+    args = (feat, d, w, vd, params["block1"], params["alpha_branch"],
+            params["color_branch"])
+    g_xla = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(loss("pallas"), argnums=tuple(range(7)))(*args)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-5),
+        g_xla, g_pal)
+
+
+def test_aggregate_gradients_with_pallas_bwd():
+    # end-to-end through aggregate(): fused fwd + pallas bwd vs the plain
+    # XLA aggregate gradients
+    rng = np.random.default_rng(8)
+    kw = _agg_inputs(rng, R=3, SR=4)
+    cfg = AggregatorConfig()
+    params = init_aggregator_params(jax.random.key(0), cfg)
+
+    def loss(cfg):
+        def f(params, emb, conf):
+            kw2 = dict(kw)
+            kw2["sampled_embedding"] = emb
+            kw2["sampled_conf"] = conf
+            dec, *_ = aggregate(params, cfg, **kw2)
+            return jnp.sum(dec ** 2)
+        return f
+
+    args = (params, kw["sampled_embedding"], kw["sampled_conf"])
+    g_ref = jax.grad(loss(cfg), argnums=(0, 1, 2))(*args)
+    g_pal = jax.grad(
+        loss(dataclasses.replace(cfg, fused_mlp="pallas",
+                                 fused_bwd="pallas")),
+        argnums=(0, 1, 2))(*args)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5),
+        g_ref, g_pal)
