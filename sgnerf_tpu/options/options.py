@@ -137,6 +137,16 @@ _F = [
     ("agg_alpha_xyz_mode", str, "None", None),
     ("agg_color_xyz_mode", str, "None", None),
     ("act_type", str, "ReLU", None), ("act_super", int, 1, None),
+    # Accepted-for-parity reference flags with no effect here: `prob` is an
+    # internal probe toggle the reference flips programmatically
+    # (train_ft.py:439/538; our growing probes pass prob to render_rays
+    # directly); `pad` only affects the manual_depth_view=-1 learned-depth
+    # branch no shipped config uses (mvs_points_model.py:288);
+    # `far_plane_shift` likewise (filter_utils.py:272); `neural_point_dir`
+    # is declared but never consumed by the reference
+    ("prob", int, 0, None), ("pad", int, 24, None),
+    ("far_plane_shift", float, None, None),
+    ("neural_point_dir", str, None, None),
     # TPU-only perf knobs (no reference counterpart): bf16 attribute gather
     # (+41% render, PERFORMANCE.md) and bf16 shading-MLP matmuls
     ("gather_dtype", str, "float32", None),
