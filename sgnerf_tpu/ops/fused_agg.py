@@ -53,6 +53,7 @@ on real hardware).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List
 
 import jax
@@ -256,7 +257,8 @@ def _xla_ref(cfgt, feat, d, w, block1, alpha_branch):
 
 # Backward tile: the kernel holds ~3x the forward's live activations
 # (recompute + grads), so it runs a smaller tile than the forward's 320.
-_BWD_TM = 128
+# SGNERF_BWD_TM overrides for tile sweeps (dev_scripts/probe_train_fused.py).
+_BWD_TM = int(os.environ.get("SGNERF_BWD_TM", "128"))
 
 
 def _bwd_kernel(feat_ref, d_ref, w_ref, g_ref,
