@@ -10,6 +10,8 @@ import sys
 
 import numpy as np
 
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
 sys.path.insert(0, "/root/repo")
 
 import jax
@@ -35,7 +37,7 @@ from sgnerf_tpu.ops.camera import get_dtu_raydir  # noqa: E402
 
 
 def build_scene():
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(SEED)
     n = 4000
     xyz = rng.normal(size=(n, 3)).astype(np.float32)
     xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
@@ -74,12 +76,12 @@ def run(tag, gather_dtype, gather_round, xyz, rgb, emb, views, wh,
     cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=64, SR=8, K=4,
                        vsize=(0.04,) * 3, gather_dtype=gather_dtype,
                        gather_round=gather_round)
-    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    params = init_aggregator_params(jax.random.key(SEED), cfg.agg)
     tcfg = TrainConfig(lr=2e-3, plr=5e-3, lr_decay_iters=10 ** 9)
     state = create_train_state(params, cloud, tcfg)
 
-    rng = np.random.default_rng(7)
-    key = jax.random.key(1)
+    rng = np.random.default_rng(7 + SEED)
+    key = jax.random.key(1 + SEED)
     Rb = 512
     for step in range(steps):
         v = views[step % 4]
@@ -112,6 +114,7 @@ def run(tag, gather_dtype, gather_round, xyz, rgb, emb, views, wh,
 
 
 def main():
+    print(f"seed {SEED}", flush=True)
     xyz, rgb, emb, views, wh = build_scene()
     f32 = run("f32 gather           ", "float32", "nearest",
               xyz, rgb, emb, views, wh)
