@@ -184,3 +184,43 @@ def test_train_step_multi_matches_sequential():
                                np.asarray(st.cloud.embedding),
                                rtol=1e-5, atol=1e-6)
     assert int(st2.step) == int(st.step) == G
+
+
+def test_train_step_fused_pallas_bwd_matches_xla_bwd():
+    """Full train_step through the fused Pallas forward with BOTH backward
+    modes (xla recompute vs the fused backward kernel): the resulting
+    parameters must agree to fp tolerance. Exercises the kernel under the
+    real training graph — masked (w=0) neighbor rows, conf gradient clamp,
+    dual optimizers — in interpret mode on CPU."""
+    import dataclasses
+
+    def run(bwd, steps=2):
+        rng = np.random.default_rng(0)
+        n = 600
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+        emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+        cloud = make_point_cloud(xyz, emb, color=(xyz * .5 + .5), dir=xyz,
+                                 capacity=640)
+        spec = grid_spec_for_cloud(cloud, vsize=[0.08] * 3, vscale=[1, 1, 1],
+                                   kernel_size=[3, 3, 3], max_o=8192, P=16)
+        grid = build_grid(cloud, spec)
+        cfg = RenderConfig(
+            agg=AggregatorConfig(fused_mlp="pallas", fused_bwd=bwd),
+            z_depth_dim=48, SR=6, K=4, vsize=(0.08, 0.08, 0.08))
+        params = init_aggregator_params(jax.random.key(0), cfg.agg)
+        tcfg = TrainConfig()
+        st = create_train_state(params, cloud, tcfg)
+        losses = []
+        for i in range(steps):
+            st, l = train_step(st, grid, cfg, tcfg, _batch(R=48, seed=2 + i),
+                               jax.random.key(5 + i))
+            losses.append(float(l["total"]))
+        return losses, st
+
+    l_xla, st_xla = run("xla")
+    l_pal, st_pal = run("pallas")
+    np.testing.assert_allclose(l_pal, l_xla, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6),
+        st_xla.params, st_pal.params)
