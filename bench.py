@@ -71,6 +71,16 @@ def main():
                        vsize=(0.008, 0.008, 0.008),
                        gather_dtype="bfloat16",
                        knn_mode="fused")
+    # fallback ladder: the in-kernel color head is the newest Mosaic
+    # surface — if a toolchain change rejects it, drop to the proven
+    # block1+alpha kernel rather than recording nothing
+    import dataclasses
+    cfg_fallbacks = [
+        dataclasses.replace(cfg, agg=dataclasses.replace(
+            cfg.agg, fused_color=False)),
+        dataclasses.replace(cfg, agg=dataclasses.replace(
+            cfg.agg, fused_mlp="none"), knn_mode="exact"),
+    ]
     params = init_aggregator_params(jax.random.key(0), cfg.agg)
 
     R = 9216  # our chunk (the reference uses 48^2=2304; chunking is
@@ -95,16 +105,19 @@ def main():
     # (PERFORMANCE.md); batching amortizes it G-fold.
     G = 8
 
-    @jax.jit
-    def step(params, cloud, grid, raydirs):          # raydirs (G,1,R,3)
-        def one(rd):
-            out = render_rays(params, cloud, grid, cfg, campos=campos,
-                              raydir=rd, camrotc2w=rot, near=0.1, far=8.0,
-                              bg_color=bg)
-            return jnp.sum(out["coarse_raycolor"])
-        # scalar result: forces completion per call without shipping images
-        return jnp.sum(jax.lax.map(one, raydirs))
+    def make_step(cfg):
+        @jax.jit
+        def step(params, cloud, grid, raydirs):      # raydirs (G,1,R,3)
+            def one(rd):
+                out = render_rays(params, cloud, grid, cfg, campos=campos,
+                                  raydir=rd, camrotc2w=rot, near=0.1,
+                                  far=8.0, bg_color=bg)
+                return jnp.sum(out["coarse_raycolor"])
+            # scalar result: forces completion without shipping images
+            return jnp.sum(jax.lax.map(one, raydirs))
+        return step
 
+    step = make_step(cfg)
     n_dev = jax.device_count()
     if n_dev > 1:
         # rays shard over all chips (pure DP; params/cloud/grid replicate)
@@ -116,8 +129,21 @@ def main():
         cloud = jax.device_put(cloud, rep)
         grid = jax.device_put(grid, rep)
 
-    # warmup/compile
-    float(step(params, cloud, grid, raydir_groups[0]))
+    # warmup/compile (with the fallback ladder above)
+    import sys
+    err = None
+    for trial in [cfg] + cfg_fallbacks:
+        step = make_step(trial)
+        try:
+            float(step(params, cloud, grid, raydir_groups[0]))
+            err = None
+            break
+        except Exception as e:
+            print(f"bench: config failed ({type(e).__name__}); "
+                  "falling back", file=sys.stderr)
+            err = e
+    if err is not None:
+        raise err
 
     # pipelined throughput: real rendering dispatches chunk i+1 before
     # syncing chunk i, hiding the fixed per-dispatch latency (measured
