@@ -27,3 +27,7 @@ done
 
 # 4. stochastic-rounding bf16 table cost at the training chunk size
 run sr_speed python dev_scripts/probe_sr_speed.py
+
+# 5. B-stacked chunks (one B=G render call vs lax.map of B=1 bodies):
+#    amortizes per-gather-op floors G-fold if they dominate (occ-mask)
+run bstack python dev_scripts/probe_bstack_render.py
