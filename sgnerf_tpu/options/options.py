@@ -165,6 +165,10 @@ _F = [
     # backward of the fused kernel: xla recompute (default) or the fused
     # pallas backward kernel; "auto" = xla until the kernel is TPU-measured
     ("fused_bwd", str, "auto", None),
+    # render B chunks per lax.map body on the renderer's batch axis
+    # (single batched gathers amortize per-gather-op floors); 1 = classic
+    # chunk loop. Must divide chunks_per_dispatch (clamped otherwise).
+    ("chunk_stack", int, 1, None),
     # KNN select: exact (XLA top_k) | approx (lax.approx_max_k) | fused
     # (Pallas select over the gathered cache rows, ops/fused_knn.py) |
     # auto (fused on TPU with a bf16 cache, exact otherwise)

@@ -41,7 +41,11 @@ from ..ops.scatter import construct_vox_points_closest
 
 def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
                         rot, near, far, bg):
-    """Render (G,1,Rc,3) ray-dir chunks in ONE dispatch via lax.map."""
+    """Render (G,B,Rc,3) ray-dir chunks in ONE dispatch: lax.map over the
+    G axis, with each body rendering B chunks stacked on the renderer's
+    batch axis (campos/rot are (B,...)). B=1 is the classic chunk loop;
+    B>1 (--chunk_stack) batches the per-chunk gathers/top_k into single
+    ops, amortizing their per-op floors (probe_bstack_render.py A/B)."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -50,7 +54,7 @@ def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
             out = render_rays(params, cloud, grid, cfg, campos=campos,
                               raydir=rd, camrotc2w=rot, near=near, far=far,
                               bg_color=bg, is_train=False)
-            return out["coarse_raycolor"][0]
+            return out["coarse_raycolor"]          # (B, Rc, 3)
         return jax.lax.map(one, raydirs)
 
     return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg)
@@ -463,20 +467,25 @@ class SceneModel:
         if self.sharded_scene is not None:
             return self._render_image_spatial(item, raydir, chunk_rays)
         G = max(1, int(chunks_per_dispatch))
-        group = chunk_rays * G
+        # --chunk_stack B: render B chunks per lax.map body on the batch
+        # axis (single batched gathers); G stays the per-dispatch total
+        B = max(1, int(getattr(self.opt, "chunk_stack", 1) or 1))
+        B = min(B, G)
+        G = G // B
+        group = chunk_rays * G * B
         pad = (-R) % group
         raydir_p = np.concatenate(
             [raydir, np.zeros((pad, 3), np.float32)]) if pad else raydir
         cols = []
         st = self.state
-        campos = jnp.asarray(item["campos"][None])
-        rot = jnp.asarray(item["camrotc2w"][None])
+        campos = jnp.broadcast_to(jnp.asarray(item["campos"]), (B, 3))
+        rot = jnp.broadcast_to(jnp.asarray(item["camrotc2w"]), (B, 3, 3))
         near = jnp.asarray(item["near"])
         far = jnp.asarray(item["far"])
         bg = jnp.asarray(item["bg_color"])
         for s in range(0, len(raydir_p), group):
             rds = jnp.asarray(
-                raydir_p[s:s + group].reshape(G, 1, chunk_rays, 3))
+                raydir_p[s:s + group].reshape(G, B, chunk_rays, 3))
             cols.append(_render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
                 rot, near, far, bg))
