@@ -14,3 +14,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache (same mechanism as runtime/jax_setup.py,
+# which the CLI entry points already use): the suite's wall time is
+# dominated by XLA:CPU compiles of near-identical render programs, and
+# repeat runs hit the cache instead.
+try:
+    _cache = os.path.join(
+        os.environ.get("SGNERF_JAX_CACHE",
+                       os.path.expanduser("~/.jax_cache")), "cpu_tests")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception as e:  # cache is an optimization, never a requirement
+    print(f"[conftest] compilation cache unavailable: {e}")
