@@ -72,6 +72,10 @@ class AggregatorConfig:
     #                                  recomputes the un-fused path, "pallas"
     #                                  runs the fused backward kernel
     #                                  (ops/fused_agg.py _pallas_backward)
+    fused_march: bool = False        # eval renders: run the volume march
+    #                                  inside the fused kernel too (emits
+    #                                  per-ray color directly; reduced
+    #                                  output dict — see renderer)
 
     @property
     def dist_dim(self) -> int:
@@ -320,7 +324,12 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
               sample_loc_w,            # (B,R,SR,3) world
               sample_ray_dirs,         # (B,R,SR,3)
               Rw2c=None,               # (3,3), (B,R,SR,K,3,3), or None
-              vsize=None):
+              vsize=None,
+              march=None):             # {"ray_dist": (B,R,SR)}: fuse the
+    #                                    volume march in-kernel (eval only,
+    #                                    needs fused_march + the fused color
+    #                                    path) — decoded is then the dict
+    #                                    {"march": (B,R,4) [color | bgT]}
     """Dense masked aggregation. Returns (decoded (B,R,SR,4), ray_valid
     (B,R,SR) bool, weight (B,R,SR,K), conf_coefficient (B,R,SR,K))."""
     B, R, SR, K, _ = sampled_embedding.shape
@@ -377,6 +386,28 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         and cfg.agg_distance_kernel not in ("trilinear", "sh_intrp",
                                             "gau_intrp"))
     color = None
+    if (march is not None and cfg.fused_march and use_fused
+            and cfg.fused_color and cfg.num_viewdir_freqs > 0):
+        # fully-fused eval render: shading + volume march in one kernel
+        # (ops/fused_agg.py _kernel_color_march); per-sample tensors never
+        # reach HBM — the kernel emits per-RAY [color | bg transmission]
+        from ..ops.fused_agg import fused_block1_alpha_color_march
+        M = B * R * SR
+        wm = (weight * conf_coefficient) * mask.astype(weight.dtype)
+        out4 = fused_block1_alpha_color_march(
+            sampled_embedding.reshape(M, K, -1).astype(jnp.float32),
+            d.reshape(M, K, -1).astype(jnp.float32),
+            wm.reshape(M, K).astype(jnp.float32),
+            ori_viewdirs.reshape(M, 3).astype(jnp.float32),
+            march["ray_dist"].reshape(M).astype(jnp.float32),
+            ray_valid.reshape(M).astype(jnp.float32),
+            params["block1"], params["alpha_branch"],
+            params["color_branch"],
+            K=K, nf=cfg.num_feat_freqs, df=abs(cfg.dist_xyz_freq),
+            vf=cfg.num_viewdir_freqs, SR=SR,
+            bf16=(cfg.compute_dtype == "bfloat16"))
+        return ({"march": out4.reshape(B, R, 4)}, ray_valid, weight,
+                conf_coefficient)
     if use_fused and cfg.num_viewdir_freqs > 0 and cfg.fused_color:
         # one VMEM-resident Pallas kernel for PE -> block1 -> alpha head ->
         # weighted K-reduction -> color branch on the reduced features

@@ -154,7 +154,8 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
 
 
 def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
-                         campos, raydir, camrotc2w, key=None):
+                         campos, raydir, camrotc2w, key=None,
+                         fuse_march=False):
     """Neighbor-attribute gather + per-neighbor MLP aggregation (everything
     between the query and the volume march). Shared by the single-device
     paths below and by the spatially-sharded renderer (parallel/spatial.py),
@@ -230,6 +231,13 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     if rot.ndim == 3:
         rot = rot[cloud.rot_idx[pid]]                 # (B,R,SR,K,3,3)
 
+    march = None
+    if fuse_march:
+        # the march consumes per-sample dists computable pre-aggregation
+        rv = jnp.any(sample_pnt_mask, axis=-1)
+        march = {"ray_dist": ray_dist_from_z(
+            sample_loc[..., 2], rv, cfg.vsize[2], cfg.raydist_mode_unit)}
+
     decoded, ray_valid, weight, conf_coefficient = aggregate(
         params, agg,
         sampled_embedding=sampled_embedding,
@@ -244,7 +252,8 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
         sample_loc_w=sample_loc_w,
         sample_ray_dirs=sample_ray_dirs,
         Rw2c=rot,
-        vsize=cfg.vsize)
+        vsize=cfg.vsize,
+        march=march)
 
     sampled = {"xyz": sampled_xyz, "embedding": sampled_embedding,
                "color": sampled_color, "dir": sampled_dir,
@@ -258,10 +267,30 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     """Everything downstream of the neighbor query: gather -> aggregate ->
     march -> outputs (shared by the world- and perspective-space paths)."""
     B, R, _ = raydir.shape
+    # fully-fused eval render (--fused_march): shading + march in one Pallas
+    # kernel; eval-only (train/prob need the per-sample outputs) and gated
+    # to the canonical radiance/alpha/off tail the kernel implements
+    fuse_march = (cfg.agg.fused_march and key is None and not prob
+                  and cfg.which_render_func == "radiance"
+                  and cfg.which_blend_func == "alpha"
+                  and cfg.which_tonemap_func == "off"
+                  and cfg.agg.act_super > 0)
     (decoded, ray_valid, weight, conf_coefficient, sample_loc,
      sampled) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
                                      sample_loc_w, campos, raydir, camrotc2w,
-                                     key=key)
+                                     key=key, fuse_march=fuse_march)
+    if isinstance(decoded, dict):                 # in-kernel march engaged
+        out4 = decoded["march"]                   # (B,R,4) [color | bgT]
+        bg = jnp.asarray(bg_color, out4.dtype).reshape(-1, 1, 3)
+        return {
+            "coarse_raycolor": out4[..., :3] + bg * out4[..., 3:],
+            "coarse_is_background": out4[..., 3:],
+            "queried_shading": jnp.broadcast_to(
+                jnp.logical_not(jnp.any(ray_valid, axis=-1, keepdims=True)
+                                ).astype(jnp.float32), (B, R, 3)),
+            "ray_mask": ray_mask,
+            "ray_valid": ray_valid,
+        }
     sampled_xyz, sampled_embedding = sampled["xyz"], sampled["embedding"]
     sampled_color, sampled_dir = sampled["color"], sampled["dir"]
     sampled_conf = sampled["conf"]

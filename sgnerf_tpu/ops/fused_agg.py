@@ -211,6 +211,150 @@ def _kernel_color(feat_ref, d_ref, w_ref, vd_ref,
     out_ref[...] = jnp.concatenate([alpha, hc], axis=-1)   # (TM, 1+3)
 
 
+def _kernel_color_march(feat_ref, d_ref, w_ref, vd_ref, dr_ref, rv_ref,
+                        wf_ref, wsin_ref, wcos_ref, b1_ref,
+                        rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+                        cwf_ref, cwsin_ref, cwcos_ref, cb0_ref,
+                        crest_w_refs, crest_b_refs,
+                        out_ref, *, K: int, nf: int, df: int, vf: int,
+                        SR: int, bf16: bool, n_rest: int, n_crest: int):
+    """The color-fused body, then the VOLUME MARCH in-kernel: sigmoid color
+    (raw2out_color, act_super), opacity = 1-exp(-sigma*dist), exclusive
+    transmission cumprod along each ray's SR slots (rows are ray-major with
+    SR innermost, so a (TM,1)->(TM/SR,SR) reshape groups rays), radiance
+    blend. Emits (TM/SR, 4) [ray_color | background_transmission] — the
+    eval render's per-sample tensors never touch HBM (reference ray_march,
+    diff_ray_marching.py:509; our ops/march.py ray_march)."""
+    dot = _dot_mm(bf16)
+    red = _block1_alpha_body(
+        feat_ref, d_ref, w_ref, wf_ref, wsin_ref, wcos_ref, b1_ref,
+        rest_w_refs, rest_b_refs, wa_ref, ba_ref,
+        K=K, nf=nf, df=df, bf16=bf16, n_rest=n_rest)
+    C = red.shape[-1] - 1
+    fa = red[:, :C]
+    alpha = red[:, C:]                         # (TM, 1) softplus'd sigma
+
+    zv = _freq_major(vd_ref[...], vf)
+    hc = (dot(fa, cwf_ref[...])
+          + dot(jnp.sin(zv), cwsin_ref[...])
+          + dot(jnp.cos(zv), cwcos_ref[...]) + cb0_ref[...])
+    if n_crest > 0:
+        hc = jax.nn.leaky_relu(hc, negative_slope=0.01)
+    for i in range(n_crest):
+        hc = dot(hc, crest_w_refs[i][...]) + crest_b_refs[i][...]
+        if i < n_crest - 1:
+            hc = jax.nn.leaky_relu(hc, negative_slope=0.01)
+    # raw2out_color with act_super (models/aggregator.py raw2out_color)
+    rgb = jax.nn.sigmoid(hc) * (1.0 + 2 * 0.001) - 0.001   # (TM, 3)
+
+    sigma = alpha * rv_ref[...]                # (TM, 1)
+    op = 1.0 - jnp.exp(-sigma * dr_ref[...])
+    TM = op.shape[0]
+    TMray = TM // SR
+    a = (1.0 - op + 1e-10).reshape(TMray, SR)
+    # exclusive cumprod along the SR lanes, sequential like jnp.cumprod
+    cols = [jnp.ones((TMray, 1), jnp.float32)]
+    for s in range(SR - 1):
+        cols.append(cols[-1] * a[:, s:s + 1])
+    T = jnp.concatenate(cols, axis=1)          # (TMray, SR) exclusive
+    bgT = T[:, SR - 1:SR] * a[:, SR - 1:SR]    # full transmission
+    ws = op.reshape(TMray, SR) * T             # alpha_blend weights
+    color = jnp.sum(ws.reshape(TMray, SR, 1) * rgb.reshape(TMray, SR, 3),
+                    axis=1)                    # (TMray, 3)
+    out_ref[...] = jnp.concatenate([color, bgT], axis=-1)
+
+
+def fused_block1_alpha_color_march(feat, d, w, vd, ray_dist, ray_valid,
+                                   block1, alpha_branch, color_branch,
+                                   *, K: int, nf: int, df: int, vf: int,
+                                   SR: int, bf16: bool):
+    """Eval-only fully-fused shading+march: returns (Mray, 4) [ray_color |
+    background_transmission] for M = Mray*SR shading points (inputs as in
+    fused_block1_alpha_color plus per-row ray_dist (M,) and ray_valid (M,)
+    f32). Not differentiable (the eval render path never is)."""
+    M, _, F = feat.shape
+    Dd = d.shape[-1]
+    C = block1[0]["w"].shape[1]
+    assert M % SR == 0, (M, SR)
+
+    TM = max(SR, (320 // SR) * SR)             # forward tile, ray-aligned
+    pad = (-M) % TM
+    if pad:
+        feat = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+        vd = jnp.pad(vd, ((0, pad), (0, 0)))
+        ray_dist = jnp.pad(ray_dist, ((0, pad),))
+        ray_valid = jnp.pad(ray_valid, ((0, pad),))
+    Mp = M + pad
+
+    feat2 = feat.reshape(Mp * K, F)
+    d2 = d.reshape(Mp * K, Dd)
+    w2 = w.reshape(Mp * K, 1)
+    dr = ray_dist.reshape(Mp, 1).astype(jnp.float32)
+    rv = ray_valid.reshape(Mp, 1).astype(jnp.float32)
+
+    Wf, WsinF, WcosF, WsinD, WcosD = _permute_w1(block1[0]["w"], F, nf, Dd, df)
+    Wsin = jnp.concatenate([WsinF, WsinD], axis=0)
+    Wcos = jnp.concatenate([WcosF, WcosD], axis=0)
+    b1 = block1[0]["b"].reshape(1, C)
+    rest_w = tuple(l["w"] for l in block1[1:])
+    rest_b = tuple(l["b"].reshape(1, C) for l in block1[1:])
+    wa = alpha_branch[0]["w"].reshape(1, C)
+    ba = alpha_branch[0]["b"].reshape(1, 1)
+    Cc0 = color_branch[0]["w"].shape[1]
+    CWf, CWsin, CWcos = _permute_wc(color_branch[0]["w"], C, 3, vf)
+    cb0 = color_branch[0]["b"].reshape(1, Cc0)
+    crest_w = tuple(l["w"] for l in color_branch[1:])
+    crest_b = tuple(l["b"].reshape(1, -1) for l in color_branch[1:])
+    n_rest, n_crest = len(rest_w), len(crest_w)
+    grid = (Mp // TM,)
+
+    def row_spec(cols, rows_per):
+        return pl.BlockSpec((rows_per, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_color_march, K=K, nf=nf, df=df, vf=vf, SR=SR, bf16=bf16,
+        n_rest=n_rest, n_crest=n_crest)
+
+    def wrapped(f_r, d_r, w_r, vd_r, dr_r, rv_r, wf_r, wsin_r, wcos_r,
+                b1_r, *rest):
+        rw = rest[:n_rest]
+        rb = rest[n_rest:2 * n_rest]
+        wa_r, ba_r, cwf_r, cwsin_r, cwcos_r, cb0_r = \
+            rest[2 * n_rest:2 * n_rest + 6]
+        crw = rest[2 * n_rest + 6:2 * n_rest + 6 + n_crest]
+        crb = rest[2 * n_rest + 6 + n_crest:2 * n_rest + 6 + 2 * n_crest]
+        out_r = rest[-1]
+        kernel(f_r, d_r, w_r, vd_r, dr_r, rv_r, wf_r, wsin_r, wcos_r, b1_r,
+               rw, rb, wa_r, ba_r, cwf_r, cwsin_r, cwcos_r, cb0_r,
+               crw, crb, out_r)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[row_spec(F, TM * K), row_spec(Dd, TM * K),
+                  row_spec(1, TM * K), row_spec(3, TM),
+                  row_spec(1, TM), row_spec(1, TM),
+                  full(Wf), full(Wsin), full(Wcos), full(b1)]
+        + [full(x) for x in rest_w] + [full(x) for x in rest_b]
+        + [full(wa), full(ba),
+           full(CWf), full(CWsin), full(CWcos), full(cb0)]
+        + [full(x) for x in crest_w] + [full(x) for x in crest_b],
+        out_specs=pl.BlockSpec((TM // SR, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp // SR, 4), jnp.float32),
+        interpret=_interpret(),
+    )(feat2, d2, w2, vd, dr, rv, Wf, Wsin, Wcos, b1, *rest_w, *rest_b,
+      wa, ba, CWf, CWsin, CWcos, cb0, *crest_w, *crest_b)
+    return out[:M // SR]
+
+
 def _permute_wc(w0: jnp.ndarray, C: int, Dv: int, vf: int):
     """Split the color branch's first weight matrix — rows ordered for the
     reference's [feat_agg | PE(viewdir)] input, whose viewdir PE is

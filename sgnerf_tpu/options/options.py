@@ -165,6 +165,9 @@ _F = [
     # backward of the fused kernel: xla recompute (default) or the fused
     # pallas backward kernel; "auto" = xla until the kernel is TPU-measured
     ("fused_bwd", str, "auto", None),
+    # eval renders: run the volume march inside the fused kernel too
+    # (per-ray output, reduced output dict); "auto" = off until TPU-measured
+    ("fused_march", str, "auto", None),
     # render B chunks per lax.map body on the renderer's batch axis
     # (single batched gathers amortize per-gather-op floors); 1 = classic
     # chunk loop. Must divide chunks_per_dispatch (clamped otherwise).
@@ -317,6 +320,9 @@ def configs_from_opt(opt):
     fb = getattr(opt, "fused_bwd", "auto")
     if fb not in ("auto", "pallas", "xla"):
         raise ValueError(f"--fused_bwd must be auto/pallas/xla, got {fb!r}")
+    fm = getattr(opt, "fused_march", "auto")
+    if fm not in ("auto", "on", "off"):
+        raise ValueError(f"--fused_march must be auto/on/off, got {fm!r}")
     knn = getattr(opt, "knn_mode", "auto")
     if knn not in ("auto", "exact", "approx", "fused"):
         raise ValueError(
@@ -354,6 +360,7 @@ def configs_from_opt(opt):
         fused_mlp=fused,
         fused_color=(fc != "off"),
         fused_bwd=("pallas" if fb == "pallas" else "xla"),
+        fused_march=(fm == "on"),
     )
     cfg = RenderConfig(
         agg=agg,

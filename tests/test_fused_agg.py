@@ -205,3 +205,52 @@ def test_aggregate_gradients_with_pallas_bwd():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5),
         g_ref, g_pal)
+
+
+def test_fused_march_matches_standard_render():
+    """--fused_march: the fully-fused shading+march eval render must match
+    the standard path's coarse_raycolor and background transmission on a
+    real scene (M spans multiple ray-aligned tiles + padding)."""
+    from sgnerf_tpu.models.point_cloud import (make_point_cloud, build_grid,
+                                               grid_spec_for_cloud)
+    from sgnerf_tpu.models.renderer import RenderConfig, render_rays
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    cloud = make_point_cloud(xyz, rng.normal(size=(n, 32)).astype(np.float32)
+                             * 0.1, color=np.clip(xyz * .5 + .5, 0, 1),
+                             dir=xyz)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.05] * 3, vscale=[2, 2, 2],
+                               kernel_size=[3, 3, 3], max_o=8192, P=8)
+    grid = build_grid(cloud, spec)
+    params = init_aggregator_params(
+        jax.random.key(0), AggregatorConfig(fused_mlp="pallas"))
+    d = (rng.normal(size=(2, 40, 3)) * 0.3).astype(np.float32)
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    args = dict(campos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, -3.0]), (2, 3)),
+                raydir=jnp.asarray(d),
+                camrotc2w=jnp.broadcast_to(jnp.eye(3, dtype=np.float32),
+                                           (2, 3, 3)),
+                near=1.0, far=5.0, bg_color=jnp.asarray([1.0, 0.5, 0.25]))
+
+    def cfg(**kw):
+        return RenderConfig(agg=AggregatorConfig(fused_mlp="pallas", **kw),
+                            z_depth_dim=48, SR=8, K=4, vsize=(0.05,) * 3)
+
+    ref = render_rays(params, cloud, grid, cfg(), **args)
+    out = render_rays(params, cloud, grid, cfg(fused_march=True), **args)
+    assert set(out.keys()) == {"coarse_raycolor", "coarse_is_background",
+                               "queried_shading", "ray_mask", "ray_valid"}
+    np.testing.assert_allclose(out["coarse_raycolor"],
+                               ref["coarse_raycolor"], atol=2e-5)
+    np.testing.assert_allclose(out["coarse_is_background"],
+                               ref["coarse_is_background"], atol=2e-5)
+    np.testing.assert_array_equal(out["ray_mask"], ref["ray_mask"])
+
+    # train path (key given) must silently keep the full-output path
+    tr = render_rays(params, cloud, grid, cfg(fused_march=True), **args,
+                     key=jax.random.key(3), is_train=True)
+    assert "coarse_point_opacity" in tr
