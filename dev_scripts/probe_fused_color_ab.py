@@ -102,6 +102,13 @@ def main():
     print(f"in-kernel color head: {r_on / r_off * 100 - 100:+.2f}% "
           f"(checksum drift {abs(c_on - c_off):.3e})", flush=True)
 
+    # and the in-kernel volume march on top (eval-only fully-fused render)
+    cfg_march = dataclasses.replace(
+        base, agg=dataclasses.replace(base.agg, fused_march=True))
+    r_m, c_m = bench(cloud, params, cfg_march, grid, "fused_march=on")
+    print(f"in-kernel march: {r_m / r_on * 100 - 100:+.2f}% over color-fused"
+          f" (checksum drift {abs(c_m - c_on):.3e})", flush=True)
+
 
 if __name__ == "__main__":
     main()
