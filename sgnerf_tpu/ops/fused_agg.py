@@ -277,7 +277,11 @@ def fused_block1_alpha_color_march(feat, d, w, vd, ray_dist, ray_valid,
     C = block1[0]["w"].shape[1]
     assert M % SR == 0, (M, SR)
 
-    TM = max(SR, (320 // SR) * SR)             # forward tile, ray-aligned
+    # forward tile: ray-aligned (TM % SR == 0) AND with TM//SR a multiple
+    # of 8 — Mosaic requires the output block's sublane dim (TM//SR rays)
+    # be 8-divisible (caught by deviceless AOT compile; interpret missed it)
+    base = SR * 8
+    TM = base * max(1, 320 // base)
     pad = (-M) % TM
     if pad:
         feat = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
@@ -452,15 +456,22 @@ def _bwd_kernel(feat_ref, d_ref, w_ref, g_ref,
     # ---- backward
     C = a_last.shape[-1]
     g = g_ref[...]                              # (TM, C+1) [gF | gA]
-    gF = jnp.broadcast_to(
-        g[:, None, :C], (TM, K, C)).reshape(TMK, C)
-    gA = jnp.broadcast_to(
-        g[:, None, C:], (TM, K, 1)).reshape(TMK, 1)
+    # broadcast the per-point cotangents over the K neighbor slots INSIDE
+    # the arithmetic, in (TM, K, C) space — the reshape to/from row-major
+    # is a layout no-op, while a materialized broadcast_to+reshape lowers
+    # to a gather Mosaic rejects (caught by deviceless AOT compile)
+    # lax.slice_in_dim + reshape: jnp's mixed basic/None indexing emits a
+    # gather op Mosaic rejects (caught by deviceless AOT compile)
+    gF3 = jax.lax.slice_in_dim(g, 0, C, axis=1).reshape(TM, 1, C)
+    gA3 = jax.lax.slice_in_dim(g, C, C + 1, axis=1).reshape(TM, 1, 1)
+    a3 = a_last.reshape(TM, K, C)
+    w3 = w.reshape(TM, K, 1)
 
     # out rows were [a_last*w | alpha*w], K-reduced
-    dw_rows = jnp.sum(a_last * gF, axis=-1, keepdims=True) + alpha * gA
-    da = gF * w
-    dalpha = gA * w
+    dw_rows = (jnp.sum(a3 * gF3, axis=-1, keepdims=True)
+               + alpha.reshape(TM, K, 1) * gA3).reshape(TMK, 1)
+    da = (gF3 * w3).reshape(TMK, C)
+    dalpha = (gA3 * w3).reshape(TMK, 1)
     draw = dalpha * jax.nn.sigmoid(raw - 1.0)   # softplus'(x) = sigmoid(x)
     dwa_c = jnp.sum(a_last * draw, axis=0, keepdims=True)   # (1, C)
     dba_c = jnp.sum(draw, axis=0, keepdims=True)            # (1, 1)

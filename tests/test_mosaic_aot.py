@@ -1,0 +1,140 @@
+"""Deviceless Mosaic compile checks: AOT-compile every Pallas kernel for a
+v5e topology via libtpu (no hardware, no tunnel).
+
+Interpret mode (the rest of the suite) validates MATH but not Mosaic's
+lowering constraints — this caught two real rejections interpret missed
+(an output block with a non-8-divisible sublane dim; a jnp mixed-None
+indexing that emits a gather op). Every kernel compiles here at
+production-like shapes, so a TPU session never discovers a
+won't-compile kernel.
+
+Skipped automatically when libtpu/topology support is unavailable.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _topology_mesh():
+    from jax.experimental import topologies
+    import os
+    os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-4")
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    return jax.sharding.Mesh(np.array(topo.devices[:1]), ("d",))
+
+
+try:
+    _MESH = _topology_mesh()
+except Exception as e:  # no libtpu / unsupported jax: skip the module
+    pytest.skip(f"deviceless TPU topology unavailable: {e}",
+                allow_module_level=True)
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                          init_aggregator_params)
+import sgnerf_tpu.ops.fused_agg as fused_agg
+import sgnerf_tpu.ops.fused_knn as fused_knn
+
+_REP = NamedSharding(_MESH, P())
+K, F, Dd, SR = 8, 32, 6, 24
+M_RENDER = 9216 * SR
+M_TRAIN = 1024 * SR
+
+
+def _sds(shape, dt=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dt, sharding=_REP)
+
+
+@pytest.fixture(scope="module")
+def param_sds():
+    params = init_aggregator_params(jax.random.key(0), AggregatorConfig())
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=_REP),
+        params)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def force_mosaic(request):
+    """The kernels check jax.default_backend() to pick interpret mode; the
+    AOT lowering below must go through Mosaic instead."""
+    olds = []
+    for mod in (fused_agg, fused_knn):
+        olds.append(mod._interpret)
+        mod._interpret = lambda: False
+    yield
+    for mod, old in zip((fused_agg, fused_knn), olds):
+        mod._interpret = old
+
+
+def _compile(fn, *args):
+    c = jax.jit(fn).lower(*args).compile()
+    assert c.memory_analysis().generated_code_size_in_bytes > 0
+    return c
+
+
+def test_fused_block1_alpha_fwd(param_sds):
+    def f(feat, d, w, b1, ab):
+        return fused_agg.fused_block1_alpha(
+            feat, d, w, b1, ab, K=K, nf=3, df=5, bf16=True)
+    _compile(f, _sds((M_RENDER, K, F)), _sds((M_RENDER, K, Dd)),
+             _sds((M_RENDER, K)), param_sds["block1"],
+             param_sds["alpha_branch"])
+
+
+def test_fused_color_fwd(param_sds):
+    def f(feat, d, w, vd, b1, ab, cb):
+        return fused_agg.fused_block1_alpha_color(
+            feat, d, w, vd, b1, ab, cb, K=K, nf=3, df=5, vf=4, bf16=True)
+    _compile(f, _sds((M_RENDER, K, F)), _sds((M_RENDER, K, Dd)),
+             _sds((M_RENDER, K)), _sds((M_RENDER, 3)), param_sds["block1"],
+             param_sds["alpha_branch"], param_sds["color_branch"])
+
+
+def test_fused_march_fwd(param_sds):
+    def f(feat, d, w, vd, dr, rv, b1, ab, cb):
+        return fused_agg.fused_block1_alpha_color_march(
+            feat, d, w, vd, dr, rv, b1, ab, cb,
+            K=K, nf=3, df=5, vf=4, SR=SR, bf16=True)
+    _compile(f, _sds((M_RENDER, K, F)), _sds((M_RENDER, K, Dd)),
+             _sds((M_RENDER, K)), _sds((M_RENDER, 3)), _sds((M_RENDER,)),
+             _sds((M_RENDER,)), param_sds["block1"],
+             param_sds["alpha_branch"], param_sds["color_branch"])
+
+
+def test_fused_backward(param_sds):
+    def loss(feat, d, w, b1, ab):
+        fa, al = fused_agg.fused_block1_alpha(
+            feat, d, w, b1, ab, K=K, nf=3, df=5, bf16=True, bwd="pallas")
+        return jnp.sum(fa) + jnp.sum(al)
+    _compile(jax.grad(loss, argnums=(0, 1, 2, 3, 4)),
+             _sds((M_TRAIN, K, F)), _sds((M_TRAIN, K, Dd)),
+             _sds((M_TRAIN, K)), param_sds["block1"],
+             param_sds["alpha_branch"])
+
+
+def test_fused_color_backward(param_sds):
+    def loss(feat, d, w, vd, b1, ab, cb):
+        al, rc = fused_agg.fused_block1_alpha_color(
+            feat, d, w, vd, b1, ab, cb, K=K, nf=3, df=5, vf=4, bf16=True,
+            bwd="pallas")
+        return jnp.sum(al) + jnp.sum(rc)
+    _compile(jax.grad(loss, argnums=tuple(range(7))),
+             _sds((M_TRAIN, K, F)), _sds((M_TRAIN, K, Dd)),
+             _sds((M_TRAIN, K)), _sds((M_TRAIN, 3)), param_sds["block1"],
+             param_sds["alpha_branch"], param_sds["color_branch"])
+
+
+def test_fused_knn_select():
+    # production shapes from the render path: M shading points, C=64
+    # candidate slots of int16 planar rows (ops/query.py call site)
+    M, C = 9216 * SR, 64
+
+    def f(rows, delta, ok):
+        return fused_knn.fused_knn_select(rows, delta, ok,
+                                          jnp.float32(0.001), C=C, K=K)
+    _compile(f, _sds((M, 5 * C), jnp.int16), _sds((M, 3)),
+             _sds((M,), jnp.bool_))
