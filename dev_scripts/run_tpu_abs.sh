@@ -20,8 +20,9 @@ run fused_color_ab python dev_scripts/probe_fused_color_ab.py
 run coarse_ab python dev_scripts/probe_coarse_ab.py
 
 # 3. fused Pallas backward kernel (train step); sweep the backward tile
+#    (VMEM ceiling AOT-verified: 160 compiles, 192 OOMs)
 run train_fused python dev_scripts/probe_train_fused.py
-for tm in 64 128 256; do
+for tm in 64 96 160; do
     run "train_fused_tm$tm" env SGNERF_BWD_TM=$tm python dev_scripts/probe_train_fused.py
 done
 

@@ -405,7 +405,8 @@ def _xla_ref(cfgt, feat, d, w, block1, alpha_branch):
 
 # Backward tile: the kernel holds ~3x the forward's live activations
 # (recompute + grads), so it runs a smaller tile than the forward's 320.
-# SGNERF_BWD_TM overrides for tile sweeps (dev_scripts/probe_train_fused.py).
+# SGNERF_BWD_TM overrides for tile sweeps (dev_scripts/probe_train_fused.py);
+# VMEM ceiling AOT-verified on v5e: 160 compiles, 192 OOMs.
 _BWD_TM = int(os.environ.get("SGNERF_BWD_TM", "128"))
 
 
