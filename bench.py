@@ -65,19 +65,18 @@ def main():
     # per-neighbor intermediates through HBM per chunk, the kernel ~0.5 GB)
     # knn_mode fused: Pallas select over the gathered cache rows (+8%:
     # 69.9k -> 75.6k; replaces the XLA unpack/top_k pipeline)
+    # fused_color stays OFF: the in-kernel color head measured -1.3%
+    # vs the XLA color stage (probe_fused_color_ab, PERFORMANCE.md)
     cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16",
                                             fused_mlp="pallas"),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008, 0.008, 0.008),
                        gather_dtype="bfloat16",
                        knn_mode="fused")
-    # fallback ladder: the in-kernel color head is the newest Mosaic
-    # surface — if a toolchain change rejects it, drop to the proven
-    # block1+alpha kernel rather than recording nothing
+    # fallback ladder: if a toolchain change rejects the Pallas kernels,
+    # drop to the pure-XLA path rather than recording nothing
     import dataclasses
     cfg_fallbacks = [
-        dataclasses.replace(cfg, agg=dataclasses.replace(
-            cfg.agg, fused_color=False)),
         dataclasses.replace(cfg, agg=dataclasses.replace(
             cfg.agg, fused_mlp="none"), knn_mode="exact"),
     ]

@@ -104,9 +104,15 @@ def main():
     jax.block_until_ready(base_grid.bucket_pnts)
     print("flat grid built", flush=True)
     base_rps, _ = bench_grid(cloud, params, cfg, base_grid, "flat")
+    del base_grid  # free before building the first coarse grid (OOM else)
 
-    for (F, L, C) in [(2, 4, 32), (4, 4, 32), (4, 8, 32), (5, 8, 32),
-                      (4, 4, 24), (8, 8, 32)]:
+    import os
+    sweep = [(2, 4, 32), (4, 4, 32), (4, 8, 32), (5, 8, 32),
+             (4, 4, 24), (8, 8, 32)]
+    if os.environ.get("SGNERF_COARSE_SWEEP"):
+        sweep = [tuple(int(v) for v in t.split(","))
+                 for t in os.environ["SGNERF_COARSE_SWEEP"].split(";")]
+    for (F, L, C) in sweep:
         grid = build_grid(cloud, spec_for(coarse_factor=F, seg_len=L,
                                           seg_cap=C))
         jax.block_until_ready(grid.bucket_pnts)

@@ -47,17 +47,26 @@ def mk_batch(i, R=1024):
                 r.uniform(0, 1, (1, R, 3)).astype(np.float32))}
 
 
+# The grid (multi-GB cache) is variant-independent and never donated:
+# build it ONCE. Rebuilding per variant kept two grids alive at the same
+# time (the old one referenced until rebound) and OOMed the chip.
+_cloud0 = make_point_cloud(
+    xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
+    dir=xyz / np.linalg.norm(xyz, axis=-1, keepdims=True))
+spec = grid_spec_for_cloud(
+    _cloud0, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
+    max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3,
+    cache_dtype="bfloat16")
+grid = build_grid(_cloud0, spec)
+jax.block_until_ready(grid.bucket_pnts)
+
 for fused, fbwd in (("none", "xla"), ("pallas", "xla"),
                     ("pallas", "pallas")):
+    # fresh cloud per variant: train_step donates the state, which holds
+    # the cloud buffers (models/train.py donate_argnums=(0,))
     cloud = make_point_cloud(
         xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
         dir=xyz / np.linalg.norm(xyz, axis=-1, keepdims=True))
-    spec = grid_spec_for_cloud(
-        cloud, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
-        max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3,
-        cache_dtype="bfloat16")
-    grid = build_grid(cloud, spec)
-    jax.block_until_ready(grid.bucket_pnts)
     cfg = RenderConfig(agg=AggregatorConfig(fused_mlp=fused, fused_bwd=fbwd),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008,) * 3, gather_dtype="float32")

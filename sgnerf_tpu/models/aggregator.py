@@ -64,10 +64,12 @@ class AggregatorConfig:
     fused_mlp: str = "none"          # "pallas": VMEM-resident fused
     #                                  PE->block1->alpha->K-reduce kernel
     #                                  (ops/fused_agg.py, inference path)
-    fused_color: bool = True         # run the color head inside the fused
+    fused_color: bool = False        # run the color head inside the fused
     #                                  kernel too (only meaningful with
-    #                                  fused_mlp="pallas"); --fused_color off
-    #                                  falls back to the XLA color stage
+    #                                  fused_mlp="pallas"). Measured -1.3%
+    #                                  on TPU vs the XLA color stage
+    #                                  (PERFORMANCE.md), so default off;
+    #                                  --fused_color on opts in
     fused_bwd: str = "xla"           # backward of the fused kernel: "xla"
     #                                  recomputes the un-fused path, "pallas"
     #                                  runs the fused backward kernel
@@ -386,8 +388,10 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         and cfg.agg_distance_kernel not in ("trilinear", "sh_intrp",
                                             "gau_intrp"))
     color = None
+    # NOTE: independent of cfg.fused_color — the march kernel variant has
+    # its color head in-kernel by construction
     if (march is not None and cfg.fused_march and use_fused
-            and cfg.fused_color and cfg.num_viewdir_freqs > 0):
+            and cfg.num_viewdir_freqs > 0):
         # fully-fused eval render: shading + volume march in one kernel
         # (ops/fused_agg.py _kernel_color_march); per-sample tensors never
         # reach HBM — the kernel emits per-RAY [color | bg transmission]

@@ -358,8 +358,14 @@ def configs_from_opt(opt):
                      if opt.agg_axis_weight is not None else None),
         compute_dtype=opt.compute_dtype,
         fused_mlp=fused,
-        fused_color=(fc != "off"),
-        fused_bwd=("pallas" if fb == "pallas" else "xla"),
+        fused_color=(fc == "on"),  # TPU A/B: in-kernel color is -1.3%
+        # auto: the fused Pallas backward measured +7.6% per train step on
+        # TPU vs the XLA-recompute backward (probe_train_fused, 79.1 vs
+        # 85.1 ms/step; TM 64/96/default within noise) — on wherever the
+        # fused forward runs; exact-gradient parity tested on CPU
+        fused_bwd=("xla" if fb == "xla"
+                   else "pallas" if fb == "pallas"
+                   else ("pallas" if fused == "pallas" else "xla")),
         fused_march=(fm == "on"),
     )
     cfg = RenderConfig(
