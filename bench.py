@@ -32,8 +32,11 @@ def main():
         make_point_cloud, build_grid, grid_spec_for_cloud)
     from sgnerf_tpu.models.renderer import RenderConfig, render_rays
 
+    import os
     rng = np.random.default_rng(0)
-    n_points = 1_000_000
+    # reference-scale headline: the canonical ScanNet clouds are ~4.2M points
+    # (SURVEY.md / VERDICT round 1); SGNERF_BENCH_POINTS overrides for probes
+    n_points = int(os.environ.get("SGNERF_BENCH_POINTS", 4_200_000))
     # synthetic "room": points on walls/floor of a box plus interior clutter
     walls = rng.uniform(-2, 2, size=(n_points // 2, 3)).astype(np.float32)
     ax = rng.integers(0, 3, size=n_points // 2)
@@ -47,9 +50,11 @@ def main():
                              dir=xyz / np.linalg.norm(xyz, axis=-1,
                                                       keepdims=True))
     # cache_dtype bf16: +3.3% (175.0 vs 180.9 ms/chunk), color drift 1.3e-4
+    # max_o/P auto-size from the actual occupancy (0% unreachable points;
+    # the old fixed max_o=610000 made 21% of the 1M-point scene invisible)
     spec = grid_spec_for_cloud(
         cloud, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
-        max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3,
+        max_o=None, P=None, ranges=[-10.0] * 3 + [10.0] * 3,
         cache_dtype="bfloat16")
     grid = build_grid(cloud, spec)
     jax.block_until_ready(grid.bucket_pnts)

@@ -45,6 +45,13 @@ def make_batch(item):
     }
     if "pixel_label" in item:
         b["pixel_label"] = jnp.asarray(item["pixel_label"][None])
+    if "gt_depth" in item:
+        b["gt_depth"] = jnp.asarray(item["gt_depth"][None])
+        b["gt_mask"] = jnp.asarray(item["gt_mask"][None])
+        # reference ray_depth_mask = depth_gt > 0 at the sampled pixels
+        # (mvs_points_volumetric_model.py:152 + compute_losses :566-568)
+        b["ray_depth_mask"] = jnp.asarray(
+            (item["gt_depth"] > 0).astype(np.float32)[None])
     return b
 
 

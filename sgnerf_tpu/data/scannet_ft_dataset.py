@@ -91,6 +91,20 @@ class ScannetFtDataset:
         return os.path.join(self.data_dir, self.scan, "exported/label",
                             f"{vid}.png")
 
+    def _depth_path(self, vid):
+        return os.path.join(self.data_dir, self.scan, "exported/depth",
+                            f"{vid}.png")
+
+    def _needs_depth(self) -> bool:
+        """Per-ray gt depth is sampled only when a depth-supervised loss or
+        depth output is requested (reference 'depths_h' input,
+        mvs_points_volumetric_model.py:150-152)."""
+        o = self.opt
+        return bool(getattr(o, "depth_loss_items", ()) or
+                    getattr(o, "compute_depth", 0) or
+                    any(n.startswith("ray_depth_masked")
+                        for n in (getattr(o, "color_loss_items", ()) or ())))
+
     def filter_valid_id(self, id_list: List[int]) -> List[int]:
         out = []
         for vid in id_list:
@@ -209,6 +223,16 @@ class ScannetFtDataset:
         if sem is not None:
             item["pixel_label"] = sem[ipy, ipx].reshape(-1).astype(np.int32)
             item["gt_semantic_img"] = sem
+        if self._needs_depth():
+            dpath = self._depth_path(vid)
+            if os.path.exists(dpath):
+                with Image.open(dpath) as im:
+                    dm = np.asarray(
+                        im.resize(self.img_wh, Image.NEAREST),
+                        dtype=np.float32) / 1000.0
+                dm[(dm > 8.0) | (dm < 0.3)] = 0    # read_depth clipping
+                item["gt_depth"] = dm[ipy, ipx].reshape(-1)
+                item["gt_mask"] = (item["gt_depth"] > 0).astype(np.float32)
         if full_img:
             item["full_image"] = img
         if self.bg_color == "random":

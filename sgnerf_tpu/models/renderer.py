@@ -98,6 +98,16 @@ class RenderConfig:
     #                                  it): "uniform" | "gaussian" | off
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
     #                                  traffic (compute stays f32)
+    compute_depth: int = 0           # emit coarse_depth (alpha-blend-weighted
+    #                                  mean sample depth). The reference gates
+    #                                  this on compute_depth OR depth_loss_items
+    #                                  (neural_points_volumetric_model.py:211)
+    #                                  but its body references an undefined
+    #                                  `ray_ts` (:623) — dead code inherited
+    #                                  from Point-NeRF, where ray_ts is the
+    #                                  per-sample t. We use camera-space z of
+    #                                  each shading point (= Point-NeRF's t
+    #                                  for its z-linear sampling).
     gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
     #                                  makes the quantized attribute table an
     #                                  unbiased estimator of the f32 master
@@ -320,6 +330,15 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
         "blend_weight": jax.lax.stop_gradient(blend_weight),
         "conf_coefficient": conf_coefficient,
     }
+
+    if cfg.compute_depth:
+        # alpha-blend-weighted mean sample depth (reference return_depth,
+        # neural_points_volumetric_model.py:620-624: avg_depth =
+        # (w * ray_ts).sum / (w.sum + 1e-6), w = opacity * acc_transmission)
+        w = opacity * acc_transmission                       # (B,R,SR)
+        z = sample_loc[..., 2]                               # camera-space t
+        output["coarse_depth"] = (
+            jnp.sum(w * z, axis=-1) / (jnp.sum(w, axis=-1) + 1e-6))
 
     if prob:
         # point-growing probes (reference :633-668): per ray, stats at the

@@ -55,6 +55,12 @@ class TrainConfig:
     color_loss_weights: Tuple[float, ...] = (1.0, 0.0, 0.0)
     zero_one_loss_items: Tuple[str, ...] = ("conf_coefficient",)
     zero_one_loss_weights: Tuple[float, ...] = (0.0001,)
+    depth_loss_items: Tuple[str, ...] = ()
+    depth_loss_weights: Tuple[float, ...] = ()
+    bg_loss_items: Tuple[str, ...] = ()
+    bg_loss_weights: Tuple[float, ...] = ()
+    l2_size_loss_items: Tuple[str, ...] = ()
+    l2_size_loss_weights: Tuple[float, ...] = ()
     sparse_loss_weight: float = 0.0
     zero_epsilon: float = 1e-3
 
@@ -135,12 +141,25 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
             camrotc2w=batch["camrotc2w"], near=batch["near"],
             far=batch["far"], bg_color=batch.get("bg_color"),
             pixel_label=batch.get("pixel_label"), key=key, is_train=True)
+        if "ray_depth_mask" in batch:
+            # per-ray valid-depth mask (reference builds it from the full
+            # gt depth image + pixel_idx; the dataset batcher here samples
+            # per ray already, mvs_points_volumetric_model.py:152)
+            out["ray_depth_mask"] = batch["ray_depth_mask"]
         total, losses = compute_losses(
             out, batch["gt_image"],
             color_loss_items=tcfg.color_loss_items,
             color_loss_weights=tcfg.color_loss_weights,
             zero_one_loss_items=tcfg.zero_one_loss_items,
             zero_one_loss_weights=tcfg.zero_one_loss_weights,
+            depth_loss_items=tcfg.depth_loss_items,
+            depth_loss_weights=tcfg.depth_loss_weights,
+            bg_loss_items=tcfg.bg_loss_items,
+            bg_loss_weights=tcfg.bg_loss_weights,
+            l2_size_loss_items=tcfg.l2_size_loss_items,
+            l2_size_loss_weights=tcfg.l2_size_loss_weights,
+            gt_depth=batch.get("gt_depth"),
+            gt_mask=batch.get("gt_mask"),
             sparse_loss_weight=tcfg.sparse_loss_weight,
             zero_epsilon=tcfg.zero_epsilon)
         return total, losses

@@ -82,7 +82,47 @@ class GridSpec:
         return jnp.asarray(self.vsize, dtype=jnp.float32)
 
 
-def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
+def auto_grid_caps(xyz: np.ndarray, min_corner, scaled_vsize,
+                   scaled_vdim) -> Tuple[int, int]:
+    """Size (max_o, P) from the ACTUAL per-voxel occupancy so 0% of in-range
+    points are unreachable by the query.
+
+    The reference inherits fixed caps from its flags and silently
+    reservoir-drops points past them (claim_occ / fill_occ2pnts,
+    query_point_indices_worldcoords.py:706-778); at scene scale the canonical
+    values mis-fit (measured: a 1M-point room has 744k occupied voxels vs the
+    canonical max_o=610k — 21% of points invisible to the query). One numpy
+    histogram per grid rebuild is free next to the build itself.
+
+    max_o is bucketed (64k) and P padded (+4, multiple of 4) so point growth
+    usually re-fits the existing spec without recompiling every consumer."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    c = np.floor((xyz - np.asarray(min_corner)) /
+                 np.asarray(scaled_vsize)).astype(np.int64)
+    vdim = np.asarray(scaled_vdim, dtype=np.int64)
+    inb = np.all((c >= 0) & (c < vdim), axis=1)
+    vid = (c[inb, 0] * vdim[1] + c[inb, 1]) * vdim[2] + c[inb, 2]
+    if vid.size == 0:
+        return 65536, 8
+    uniq, cnt = np.unique(vid, return_counts=True)
+    bucket = 65536
+    max_o = int(-(-(len(uniq) + 1) // bucket) * bucket)
+    P = int(cnt.max()) + 4
+    P = -(-P // 4) * 4
+    if P > 128:
+        # pathological density: a fixed-(max_o,P) bucket table would blow
+        # memory; clamp and report what the clamp drops
+        lost = int(np.maximum(cnt - 128, 0).sum())
+        print(f"[grid] auto-P clamped at 128 (max per-voxel count "
+              f"{int(cnt.max())}): {lost} points "
+              f"({100.0 * lost / max(vid.size, 1):.2f}%) stay unreachable; "
+              f"coarsen --vsize to recover them", flush=True)
+        P = 128
+    return max_o, P
+
+
+def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size,
+                      max_o=None, P=None,
                       ranges=None, nbr_cache: int = 64,
                       coarse_factor: int = 0, seg_len: int = 4,
                       seg_cap: int = 32,
@@ -90,7 +130,10 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
                       dilate_size=None) -> GridSpec:
     """Host-side spec computation; mirrors `get_hyperparameters`
     (query_point_indices_worldcoords.py:66-92): point bbox intersected with
-    `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale."""
+    `ranges`, padded by scaled_vsize*kernel/2, voxelized at vsize*vscale.
+
+    max_o / P of None (or 0) auto-size from the actual occupancy
+    (auto_grid_caps) so no in-range point is unreachable."""
     xyz = np.asarray(xyz, dtype=np.float64)
     vsize = np.asarray(vsize, dtype=np.float64)
     vscale = np.asarray(vscale, dtype=np.float64)
@@ -106,6 +149,11 @@ def compute_grid_spec(xyz: np.ndarray, vsize, vscale, kernel_size, max_o, P,
     max_xyz = max_xyz + scaled_vsize * ks / 2
     vdim = (max_xyz - min_xyz) / vsize
     scaled_vdim = np.ceil(vdim / vscale).astype(np.int64)
+    if not max_o or not P:
+        auto_o, auto_p = auto_grid_caps(xyz, min_xyz, scaled_vsize,
+                                        scaled_vdim)
+        max_o = max_o or auto_o
+        P = P or auto_p
     return GridSpec(
         min_corner=tuple(float(v) for v in min_xyz),
         vsize=tuple(float(v) for v in scaled_vsize),

@@ -386,7 +386,24 @@ def configs_from_opt(opt):
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,
         knn_mode=knn,
+        # the reference emits depth when compute_depth OR any depth loss is
+        # requested (neural_points_volumetric_model.py:211)
+        compute_depth=int(bool(opt.compute_depth)
+                          or bool(opt.depth_loss_items)),
     )
+
+    def _broadcast_w(items, weights):
+        # 1 weight for N items broadcasts (base_rendering_model.py:238-268)
+        items, weights = tuple(items or ()), tuple(weights or ())
+        if items and len(weights) == 1 and len(items) > 1:
+            weights = weights * len(items)
+        return items, weights[:len(items)]
+
+    depth_items, depth_w = _broadcast_w(opt.depth_loss_items,
+                                        opt.depth_loss_weights)
+    bg_items, bg_w = _broadcast_w(opt.bg_loss_items, opt.bg_loss_weights)
+    l2_items, l2_w = _broadcast_w(opt.l2_size_loss_items,
+                                  opt.l2_size_loss_weights)
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,
         lr_decay_iters=opt.lr_decay_iters, lr_decay_exp=opt.lr_decay_exp,
@@ -398,6 +415,9 @@ def configs_from_opt(opt):
         color_loss_weights=tuple(opt.color_loss_weights or ()),
         zero_one_loss_items=tuple(opt.zero_one_loss_items or ()),
         zero_one_loss_weights=tuple(opt.zero_one_loss_weights or ()),
+        depth_loss_items=depth_items, depth_loss_weights=depth_w,
+        bg_loss_items=bg_items, bg_loss_weights=bg_w,
+        l2_size_loss_items=l2_items, l2_size_loss_weights=l2_w,
         sparse_loss_weight=opt.sparse_loss_weight,
         zero_epsilon=opt.zero_epsilon,
     )
@@ -410,7 +430,9 @@ def configs_from_opt(opt):
         dilate_size=(list(opt.query_size)
                      if tuple(opt.query_size) != tuple(opt.kernel_size)
                      else None),
-        max_o=opt.max_o or 610000, P=opt.P,
+        # None/0 auto-sizes from the actual occupancy (ops/grid.py
+        # auto_grid_caps) so 0% of in-range points are unreachable
+        max_o=opt.max_o, P=opt.P,
         ranges=(list(opt.ranges) if opt.ranges[0] > -99.0 else None),
         coarse_factor=opt.coarse_factor, seg_len=opt.seg_len,
         seg_cap=opt.seg_cap, cache_dtype=opt.cache_dtype,

@@ -445,6 +445,7 @@ class SceneModel:
         point-optimizer state (topology changed)."""
         params = self.state.params
         step = self.state.step
+        self._refit_spec(cloud)
         self.grid = build_grid(cloud, self.spec)
         st = create_train_state(params, cloud, self.tcfg)
         self.state = dataclasses.replace(st, step=step,
@@ -452,6 +453,26 @@ class SceneModel:
         self._setup_spatial(cloud)
 
     # --------------------------------------------------------------- rendering
+
+    def _refit_spec(self, cloud):
+        """After grow/prune, re-check auto-sized grid caps against the new
+        cloud; recompute the spec only when the caps no longer fit (a spec
+        change recompiles every consumer, so the auto buckets in
+        auto_grid_caps give growth headroom that usually keeps it stable)."""
+        if self.opt.max_o and self.opt.P:
+            return  # user-pinned caps: reference truncation semantics
+        from ..ops.grid import auto_grid_caps
+        xyz = np.asarray(cloud.xyz)[np.asarray(cloud.active)]
+        need_o, need_p = auto_grid_caps(
+            xyz, self.spec.min_corner, self.spec.vsize, self.spec.vdim)
+        over_o = (not self.opt.max_o) and need_o > self.spec.max_o
+        over_p = (not self.opt.P) and need_p > self.spec.P
+        if over_o or over_p:
+            old = (self.spec.max_o, self.spec.P)
+            self.spec = grid_spec_for_cloud(cloud, **self.grid_kwargs)
+            print(f"[grid] auto caps re-fit after topology change: "
+                  f"(max_o,P) {old} -> ({self.spec.max_o}, {self.spec.P}) "
+                  f"(recompiles consumers)", flush=True)
 
     def render_image(self, item: Dict, chunk_rays: int = 9216,
                      key=None, chunks_per_dispatch: int = 4) -> np.ndarray:

@@ -64,3 +64,57 @@ def test_compute_losses_weights_and_quirks():
 def test_mse2psnr():
     np.testing.assert_allclose(float(mse2psnr(jnp.asarray(0.01))), 20.0,
                                atol=1e-4)
+
+
+def test_depth_bg_l2size_families():
+    """depth / bg / l2_size families vs the reference formulas
+    (base_rendering_model.py:611-649)."""
+    rng = np.random.default_rng(2)
+    pred, gt, mask = _out(rng)
+    depth = rng.uniform(0.5, 3.0, size=(1, 10)).astype(np.float32)
+    gt_depth = rng.uniform(0.5, 3.0, size=(1, 10)).astype(np.float32)
+    gt_mask = (rng.uniform(size=(1, 10)) > 0.4).astype(np.float32)
+    bg_t = rng.uniform(0, 1, size=(1, 10, 1)).astype(np.float32)
+    emb = rng.normal(size=(1, 10, 4)).astype(np.float32)
+    out = {"coarse_raycolor": jnp.asarray(pred),
+           "ray_mask": jnp.asarray(mask),
+           "coarse_depth": jnp.asarray(depth),
+           "coarse_is_background": jnp.asarray(bg_t),
+           "some_embedding": jnp.asarray(emb)}
+    total, losses = compute_losses(
+        out, jnp.asarray(gt),
+        color_loss_items=("coarse_raycolor",), color_loss_weights=(1.0,),
+        depth_loss_items=("coarse_depth",), depth_loss_weights=(0.7,),
+        bg_loss_items=("coarse_is_background",), bg_loss_weights=(0.3,),
+        l2_size_loss_items=("some_embedding",), l2_size_loss_weights=(0.1,),
+        gt_depth=jnp.asarray(gt_depth), gt_mask=jnp.asarray(gt_mask))
+    l_col = np.mean((pred - gt) ** 2)
+    l_d = np.mean((depth * gt_mask - gt_depth * gt_mask) ** 2)
+    inv = 1.0 - gt_mask
+    l_bg = np.mean((bg_t[..., 0] * inv - inv) ** 2)
+    l_l2 = np.mean(emb ** 2)
+    want = l_col + 1e-6 + 0.7 * l_d + 0.3 * l_bg + 0.1 * l_l2
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+    np.testing.assert_allclose(float(losses["coarse_depth"]), l_d, rtol=1e-5)
+    np.testing.assert_allclose(float(losses["coarse_is_background"]), l_bg,
+                               rtol=1e-5)
+
+
+def test_ray_depth_masked_color_loss():
+    """ray_depth_masked_<item> restricts the color MSE to rays with valid gt
+    depth (base_rendering_model.py:565-575)."""
+    rng = np.random.default_rng(3)
+    pred, gt, mask = _out(rng)
+    dmask = np.zeros((1, 10), np.float32)
+    dmask[0, 2:7] = 1.0
+    out = {"coarse_raycolor": jnp.asarray(pred),
+           "ray_mask": jnp.asarray(mask),
+           "ray_depth_mask": jnp.asarray(dmask)}
+    total, losses = compute_losses(
+        out, jnp.asarray(gt),
+        color_loss_items=("ray_depth_masked_coarse_raycolor",),
+        color_loss_weights=(1.0,))
+    sel = dmask[0] > 0
+    want = np.mean((pred[0, sel] - gt[0, sel]) ** 2)
+    np.testing.assert_allclose(
+        float(losses["ray_depth_masked_coarse_raycolor"]), want, rtol=1e-5)

@@ -161,3 +161,57 @@ def test_render_with_part_rotation_table(scene):
                   np.asarray(base["coarse_raycolor"]))[hit]
     assert diff.max() > 1e-4
 
+
+
+def test_compute_depth_output(scene):
+    """coarse_depth = alpha-blend-weighted mean sample depth
+    (neural_points_volumetric_model.py:620-624); hit rays land in [near,far],
+    and a depth-supervised train step runs end-to-end."""
+    import dataclasses
+    cloud, grid, cfg, params = scene
+    cfgd = dataclasses.replace(cfg, compute_depth=1)
+    campos, raydir, rot = _cam()
+    out = render_rays(params, cloud, grid, cfgd, campos=campos,
+                      raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                      bg_color=jnp.asarray([0.0, 0.0, 0.0]))
+    d = np.asarray(out["coarse_depth"])
+    assert d.shape == raydir.shape[:2]
+    assert np.isfinite(d).all()
+    hit = np.asarray(out["ray_mask"]) > 0
+    assert (d[hit] > 0.5).all() and (d[hit] < 5.5).all()
+    # missed rays have zero blend weight -> depth ~ 0
+    assert np.allclose(d[~hit], 0.0, atol=1e-3)
+
+
+def test_train_step_with_depth_losses(scene):
+    """Depth/bg/l2_size-supervised training step compiles and moves the
+    depth loss downward."""
+    import dataclasses
+    from sgnerf_tpu.models.train import (TrainConfig, create_train_state,
+                                         train_step)
+    cloud, grid, cfg, params = scene
+    cfgd = dataclasses.replace(cfg, compute_depth=1)
+    tcfg = TrainConfig(
+        color_loss_items=("ray_masked_coarse_raycolor",),
+        color_loss_weights=(1.0,),
+        depth_loss_items=("coarse_depth",), depth_loss_weights=(0.5,),
+        bg_loss_items=("coarse_is_background",), bg_loss_weights=(0.1,),
+        zero_one_loss_items=(), zero_one_loss_weights=())
+    campos, raydir, rot = _cam()
+    B, R = raydir.shape[:2]
+    rng = np.random.default_rng(7)
+    batch = {
+        "campos": campos, "raydir": raydir, "camrotc2w": rot,
+        "near": 1.0, "far": 5.0, "bg_color": jnp.zeros(3),
+        "gt_image": jnp.asarray(rng.uniform(size=(B, R, 3)), jnp.float32),
+        "gt_depth": jnp.full((B, R), 3.0, jnp.float32),
+        "gt_mask": jnp.ones((B, R), jnp.float32),
+    }
+    state = create_train_state(params, cloud, tcfg)
+    losses = []
+    for i in range(3):
+        state, ls = train_step(state, grid, cfgd, tcfg, batch,
+                               jax.random.key(i))
+        losses.append(float(ls["coarse_depth"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0] + 1e-6
