@@ -21,11 +21,15 @@ def load_image(path):
         return np.asarray(im, dtype=np.float32)[..., :3] / 255.0
 
 
-def report_metrics(gt_dir, img_dir, out_dir, metrics=("psnr", "ssim", "rmse"),
+DEFAULT_METRICS = ("psnr", "ssim", "lpips", "vgglpips", "rmse")
+
+
+def report_metrics(gt_dir, img_dir, out_dir, metrics=DEFAULT_METRICS,
                    gt_suffix="-gt_image.png", img_suffix="-coarse_raycolor.png"):
     names = sorted(f[: -len(img_suffix)] for f in os.listdir(img_dir)
                    if f.endswith(img_suffix))
     results = {m: [] for m in metrics}
+    lpips_warned = False
     for name in names:
         img = load_image(os.path.join(img_dir, name + img_suffix))
         gt = load_image(os.path.join(gt_dir, name + gt_suffix))
@@ -36,6 +40,13 @@ def report_metrics(gt_dir, img_dir, out_dir, metrics=("psnr", "ssim", "rmse"),
             fn = {"psnr": psnr, "ssim": ssim, "rmse": rmse}.get(m)
             if fn is None:
                 v = lpips(img, gt, net=m.replace("lpips", "") or "alex")
+                if v is None and not lpips_warned:
+                    lpips_warned = True
+                    print("[evaluate] LPIPS weights not found — reporting "
+                          "nan (reference: missing lpips package). Provide "
+                          "backbone + calibration weights via $SGNERF_LPIPS "
+                          "or ~/.cache/torch/hub/checkpoints; see README "
+                          "'LPIPS weights'.")
                 results[m].append(v if v is not None else float("nan"))
             else:
                 results[m].append(fn(img, gt))
@@ -61,8 +72,7 @@ if __name__ == "__main__":
     ap.add_argument("--gt_dir", required=True)
     ap.add_argument("--img_dir", required=True)
     ap.add_argument("--out_dir", default=None)
-    ap.add_argument("--metrics", nargs="+",
-                    default=["psnr", "ssim", "rmse"])
+    ap.add_argument("--metrics", nargs="+", default=list(DEFAULT_METRICS))
     a = ap.parse_args()
     report_metrics(a.gt_dir, a.img_dir, a.out_dir or a.img_dir,
                    tuple(a.metrics))

@@ -60,7 +60,9 @@ def main():
             {"coarse_raycolor": img, "gt_image": gt}, i, subdir=subdir)
 
     print(f"mean psnr: {np.mean(psnrs):.4f} over {len(psnrs)} images")
-    report_metrics(out_dir, out_dir, out_dir, ("psnr", "ssim", "rmse"))
+    # full reference metric set (run/evaluate.py:34-97): lpips/vgglpips
+    # report nan unless weights are provisioned (README 'LPIPS weights')
+    report_metrics(out_dir, out_dir, out_dir)
     if opt.vid > 0:
         visualizer.gen_video(out_dir, r"step-\d+-coarse_raycolor\.png",
                              os.path.join(out_dir, "video.mp4"))

@@ -239,6 +239,16 @@ class SceneModel:
             torch.save(torch.from_numpy(sem[None].copy()),
                        os.path.join(self.expr_dir,
                                     f"{it}_semanticEmbedding.pth"))
+        # companion {iter}_states.pth (reference save_networks other_states,
+        # base_model.py:100-102 + run/train_ft.py:922-927) so reference
+        # tooling can resume from our exports
+        import torch
+        torch.save({
+            "best_PSNR": float(self.best_psnr),
+            "best_iter": int(self.best_iter),
+            "epoch_count": 0,
+            "total_steps": int(it),
+        }, os.path.join(self.expr_dir, f"{it}_states.pth"))
 
     # ---------------------------------------------------------------- creation
 

@@ -148,7 +148,8 @@ def test_train_and_eval_cycle(scene_dir, tmp_path):
     # ---- the exported reference .pth reloads identically
     from sgnerf_tpu.models.checkpoint_io import (load_torch_state_dict,
                                                  convert_reference_checkpoint)
-    pth = [f for f in os.listdir(model.expr_dir) if f.endswith(".pth")][0]
+    pth = [f for f in os.listdir(model.expr_dir)
+           if f.endswith("_net_ray_marching.pth")][0]
     sd = load_torch_state_dict(os.path.join(model.expr_dir, pth))
     params, pts = convert_reference_checkpoint(sd)
     act = np.asarray(model.state.cloud.active)
@@ -157,6 +158,16 @@ def test_train_and_eval_cycle(scene_dir, tmp_path):
                                atol=1e-6)
     w_native = np.asarray(model.state.params["block1"][0]["w"])
     np.testing.assert_allclose(params["block1"][0]["w"], w_native, atol=1e-6)
+
+    # ---- export writes the {iter}_states.pth companion (base_model.py:
+    # 100-102) and it round-trips through our own reader
+    from sgnerf_tpu.models.checkpoint_io import load_reference_states
+    it = int(model.state.step)
+    states_path = os.path.join(model.expr_dir, f"{it}_states.pth")
+    assert os.path.exists(states_path)
+    st = load_reference_states(states_path)
+    assert int(st["total_steps"]) == it
+    assert {"best_PSNR", "best_iter", "epoch_count"} <= set(st)
 
 
 def test_growing_cycle(scene_dir, tmp_path):
