@@ -194,6 +194,12 @@ _F = [
     # point cloud + grid + neighborhood cache into N X-axis voxel slabs over
     # N devices (scene memory ~1/N per chip). 0 = replicated. Inference only.
     ("scene_shards", int, 0, None),
+    # ray-DP over the device mesh (parallel/sharded.py): shard the rays axis
+    # of every train/render batch over N chips, replicate scene + params
+    # (GSPMD psums the gradients over ICI). The TPU equivalent of the
+    # reference's nn.DataParallel (neural_points_volumetric_model.py:238-245).
+    # -1 = all devices; 0/1 = off. Mutually exclusive with --scene_shards.
+    ("ray_shards", int, 0, None),
     # DTU (MVSNet-preprocessed) loader
     ("dtu_cam_scale", float, 4.0, None), ("dtu_light_idx", int, 3, None),
     # BPNet flags

@@ -102,6 +102,24 @@ class SceneModel:
         self.mesh = None
         self._spatial_fns = {}
         self._spatial_tstate = None  # lazy; created on first optimize()
+        # ray-DP execution (--ray_shards N, parallel/sharded.py): rays shard,
+        # scene/params replicate, grads psum over ICI
+        self.ray_mesh = None
+        n_ray = int(getattr(opt, "ray_shards", 0) or 0)
+        if n_ray == -1:
+            n_ray = len(jax.devices())
+        if n_ray > 1:
+            assert not int(getattr(opt, "scene_shards", 0) or 0), (
+                "--ray_shards and --scene_shards are mutually exclusive "
+                "(rays-DP replicates the scene; slab sharding splits it)")
+            if len(jax.devices()) < n_ray:
+                print(f"[ray_shards] {n_ray} shards requested but only "
+                      f"{len(jax.devices())} devices; running unsharded")
+            else:
+                from ..parallel import make_mesh
+                self.ray_mesh = make_mesh(n_ray)
+                print(f"[ray_shards] rays shard over {n_ray} devices "
+                      f"(scene/params replicated, grad psum over ICI)")
         if int(getattr(opt, "wcoord_query", 1)) == 0:
             # the per-frame perspective-space querier exists
             # (models/renderer.render_rays_perspective over ops/query_pers,
@@ -336,6 +354,12 @@ class SceneModel:
     def optimize(self, batch: Dict, key) -> Dict[str, float]:
         if self.sharded_scene is not None:
             return self._optimize_spatial(batch, key)
+        if self.ray_mesh is not None:
+            from ..parallel import sharded_train_step
+            self.state, losses = sharded_train_step(
+                self.state, self.grid, self.cfg, self.tcfg, batch, key,
+                self.ray_mesh)
+            return losses
         self.state, losses = train_step(
             self.state, self.grid, self.cfg, self.tcfg, batch, key)
         return losses
@@ -347,6 +371,17 @@ class SceneModel:
         assert self.sharded_scene is None, (
             "steps_per_dispatch>1 not wired for --scene_shards")
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        if self.ray_mesh is not None:
+            # per-ray leaves are (G,B,R,...): shard R (axis 2), replicate rest
+            from ..parallel import ray_sharding, replicated
+            from ..parallel.sharded import _RAY_KEYS
+            rs = ray_sharding(self.ray_mesh, ray_axis=2)
+            rep = replicated(self.ray_mesh)
+            stacked = {k: (v if v is None else
+                           jax.device_put(v, rs if k in _RAY_KEYS else rep))
+                       for k, v in stacked.items()}
+            self.state = jax.device_put(self.state, rep)
+            self.grid = jax.device_put(self.grid, rep)
         self.state, losses = train_step_multi(
             self.state, self.grid, self.cfg, self.tcfg, stacked, keys)
         G = len(batches)
@@ -509,6 +544,16 @@ class SceneModel:
             [raydir, np.zeros((pad, 3), np.float32)]) if pad else raydir
         cols = []
         st = self.state
+        ray_put = None
+        if self.ray_mesh is not None:
+            from ..parallel import ray_sharding, replicated
+            rep = replicated(self.ray_mesh)
+            # idempotent: no-op copies after the first frame
+            st = jax.device_put(st, rep)
+            self.state = st
+            self.grid = jax.device_put(self.grid, rep)
+            rs = ray_sharding(self.ray_mesh, ray_axis=2)
+            ray_put = lambda rd: jax.device_put(rd, rs)  # noqa: E731
         campos = jnp.broadcast_to(jnp.asarray(item["campos"]), (B, 3))
         rot = jnp.broadcast_to(jnp.asarray(item["camrotc2w"]), (B, 3, 3))
         near = jnp.asarray(item["near"])
@@ -517,6 +562,8 @@ class SceneModel:
         for s in range(0, len(raydir_p), group):
             rds = jnp.asarray(
                 raydir_p[s:s + group].reshape(G, B, chunk_rays, 3))
+            if ray_put is not None:
+                rds = ray_put(rds)
             cols.append(_render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
                 rot, near, far, bg))

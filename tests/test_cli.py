@@ -76,3 +76,31 @@ def test_train_ft_cli_then_test_ft_cli(scene_dir, tmp_path):  # noqa: F811
     import glob
     assert glob.glob(str(tmp_path / "cli" / "images" / "test_*" /
                          "scores.txt"))
+
+
+@pytest.mark.slow
+def test_train_ft_cli_ray_shards_matches_unsharded(scene_dir, tmp_path):  # noqa: F811
+    """--ray_shards routes training through parallel/sharded.py (ray-DP over
+    the 8-device CPU mesh); with the deterministic loader (--n_threads 0)
+    the printed losses match the unsharded run (SURVEY §2.6 /
+    neural_points_volumetric_model.py:238-245)."""
+    import re
+
+    def losses_of(stdout):
+        return [float(m.group(1))
+                for m in re.finditer(r"total: ([0-9.]+)", stdout)]
+
+    base = ["--data_root", scene_dir, "--maximum_step", "4",
+            "--save_iter_freq", "4", "--test_freq", "0", "--print_freq", "1",
+            "--test_num", "0", "--n_threads", "0"] + COMMON
+    r1 = _run("train_ft.py", ["--name", "dp0",
+                              "--checkpoints_dir", str(tmp_path)] + base)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    r2 = _run("train_ft.py", ["--name", "dp8",
+                              "--checkpoints_dir", str(tmp_path),
+                              "--ray_shards", "-1"] + base)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "[ray_shards] rays shard over 8 devices" in r2.stdout
+    l1, l2 = losses_of(r1.stdout), losses_of(r2.stdout)
+    assert len(l1) == len(l2) == 4
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
