@@ -97,7 +97,8 @@ class Viewer:
             True)).astype(np.float32)
         item = {"campos": campos, "camrotc2w": rot, "raydir": raydir,
                 "near": np.float32(self.near), "far": np.float32(self.far),
-                "bg_color": self.bg, "pixel_idx": pix}
+                "bg_color": self.bg, "pixel_idx": pix,
+                "intrinsic": self.intr2}
         with self.lock:
             col = self.model.render_image(item)
         img = (np.clip(col.reshape(self.H, self.W, 3), 0, 1)

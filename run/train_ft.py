@@ -169,10 +169,11 @@ def main():
 
     # group size for multi-step dispatch (train_step_multi): fixed host
     # enqueue cost amortizes G-fold; forced to 1 by per-step host work
-    # (semantic refresh, profiling) and around scheduled-event boundaries
+    # (profiling) and around scheduled-event boundaries. Semantics are
+    # compatible: the BPNet refresh runs on a background thread between
+    # dispatch groups (runtime/semantic.py)
     G_max = max(1, int(getattr(opt, "steps_per_dispatch", 1)))
-    if semantic is not None or opt.profile_dir \
-            or model.sharded_scene is not None:
+    if opt.profile_dir or model.sharded_scene is not None:
         G_max = 1
 
     def _next_event(step):
@@ -193,6 +194,14 @@ def main():
             if G_max > 1 else 1
         if G > 1:
             items = [_get_item() for _ in range(G)]
+            if model.perspective:
+                model.ensure_pspec(items[0])
+            if semantic is not None:
+                semantic.maybe_refresh(model, dataset, items[0], steps=G)
+                for it in items:
+                    pl = semantic.pixel_labels_for(it)
+                    if pl is not None:
+                        it["pixel_label"] = pl
             key, *ks = jax.random.split(key, G + 1)
             loss_list = model.optimize_multi(
                 [make_batch(it) for it in items], jax.numpy.stack(ks))
@@ -201,6 +210,8 @@ def main():
                 visualizer.accumulate_losses(l)
         else:
             item = _get_item()
+            if model.perspective:
+                model.ensure_pspec(item)
             if semantic is not None:
                 semantic.maybe_refresh(model, dataset, item)
                 pl = semantic.pixel_labels_for(item)
@@ -234,6 +245,8 @@ def main():
             probe_and_grow(model, dataset, opt, k)
 
         if total_steps % opt.save_iter_freq == 0:
+            if semantic is not None:
+                semantic.flush(model)
             model.save_checkpoint(total_steps)
 
         if opt.save_point_freq > 0 and total_steps % opt.save_point_freq == 0:
@@ -259,6 +272,8 @@ def main():
 
     if prefetcher is not None:
         prefetcher.close()
+    if semantic is not None:
+        semantic.flush(model)
     print(f"training done in {time.time()-t_start:.1f}s; saving final")
     model.save_checkpoint(total_steps)
     model.export_reference(total_steps)

@@ -12,7 +12,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from .load_blender import load_blender_data
-from ..ops.camera import get_blender_raydir
+from ..ops.camera import get_blender_raydir, get_dtu_raydir
 import jax.numpy as jnp
 
 
@@ -64,8 +64,12 @@ class NerfSynthFtDataset:
         px, py = self._sample_pixels(rng)
         pix = np.stack([px, py], -1)
         ipx, ipy = px.astype(np.int32), py.astype(np.int32)
-        raydir = np.asarray(get_blender_raydir(
-            jnp.asarray(pix), self.height, self.width, self.focal,
+        # poses are blender2opencv-converted (+z forward), so rays use the
+        # intrinsic-based dtu raydir — reference
+        # pointnerf/data/nerf_synth_ft_dataset.py:540 (get_blender_raydir is
+        # only for the raw spherical render poses, :643)
+        raydir = np.asarray(get_dtu_raydir(
+            jnp.asarray(pix), jnp.asarray(self.intrinsic),
             jnp.asarray(camrot),
             getattr(self.opt, "dir_norm", 0) > 0)).reshape(-1, 3)
 
@@ -105,6 +109,22 @@ class NerfSynthFtDataset:
             jnp.asarray(pix), self.height, self.width, self.focal,
             jnp.asarray(item["camrotc2w"]), True)).reshape(-1, 3)
         return item
+
+    def get_campos_ray(self):
+        """Per-view camera center + central view direction, used to pick
+        each point's nearest view for direction init (reference
+        nerf_synth_ft_dataset.py get_campos_ray)."""
+        center = np.array([[self.width // 2, self.height // 2]], np.float32)
+        camposes, centerdirs = [], []
+        for idx in self.id_list:
+            pose = self.poses[idx]
+            camposes.append(pose[:3, 3].astype(np.float32))
+            d = get_dtu_raydir(
+                jnp.asarray(center), jnp.asarray(self.intrinsic),
+                jnp.asarray(pose[:3, :3]), True)
+            centerdirs.append(np.asarray(d))
+        return (np.stack(camposes).astype(np.float32),
+                np.concatenate(centerdirs).astype(np.float32))
 
     def load_init_points(self):
         """Pickled surface cloud (reference load_blender_cloud /

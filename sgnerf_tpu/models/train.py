@@ -27,7 +27,7 @@ import optax
 from .aggregator import AggregatorConfig
 from .losses import compute_losses
 from .point_cloud import NeuralPointCloud
-from .renderer import RenderConfig, render_rays
+from .renderer import RenderConfig, render_rays, render_rays_perspective
 from ..ops.grid import PointGrid
 
 
@@ -125,7 +125,7 @@ def create_train_state(params, cloud, tcfg: TrainConfig) -> TrainState:
 
 def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                      tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-                     key: jax.Array):
+                     key: jax.Array, pspec=None):
     net_tx, pts_tx = make_optimizers(tcfg)
 
     def loss_fn(params, pts):
@@ -135,12 +135,24 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
         pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
                for k, v in pts.items()}
         cloud = _with_points(state.cloud, pts)
-        out = render_rays(
-            params, cloud, grid, cfg,
-            campos=batch["campos"], raydir=batch["raydir"],
-            camrotc2w=batch["camrotc2w"], near=batch["near"],
-            far=batch["far"], bg_color=batch.get("bg_color"),
-            pixel_label=batch.get("pixel_label"), key=key, is_train=True)
+        if pspec is not None:
+            # wcoord_query=0: Point-NeRF's per-frame perspective-space query
+            # (reference query_point_indices.py via neural_points.py:426).
+            # No semantic guidance here — the reference only added it to
+            # the world-coords querier.
+            out = render_rays_perspective(
+                params, cloud, pspec, cfg,
+                campos=batch["campos"], raydir=batch["raydir"],
+                camrotc2w=batch["camrotc2w"], near=batch["near"],
+                far=batch["far"], bg_color=batch.get("bg_color"),
+                key=key, is_train=True)
+        else:
+            out = render_rays(
+                params, cloud, grid, cfg,
+                campos=batch["campos"], raydir=batch["raydir"],
+                camrotc2w=batch["camrotc2w"], near=batch["near"],
+                far=batch["far"], bg_color=batch.get("bg_color"),
+                pixel_label=batch.get("pixel_label"), key=key, is_train=True)
         if "ray_depth_mask" in batch:
             # per-ray valid-depth mask (reference builds it from the full
             # gt depth image + pixel_idx; the dataset batcher here samples
@@ -195,22 +207,27 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     return new_state, losses
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec"),
+         donate_argnums=(0,))
 def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+               key: jax.Array, pspec=None
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.
 
     batch: campos (B,3), raydir (B,R,3), camrotc2w (B,3,3), gt_image (B,R,3),
     near/far scalars, bg_color (3,), optional pixel_label (B,R).
+    pspec: static perspective-frustum GridSpec — routes the forward through
+    the wcoord_query=0 querier (grid is then unused and pruned by jit).
     """
-    return _train_step_impl(state, grid, cfg, tcfg, batch, key)
+    return _train_step_impl(state, grid, cfg, tcfg, batch, key, pspec=pspec)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec"),
+         donate_argnums=(0,))
 def train_step_multi(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                      tcfg: TrainConfig, batches: Dict[str, jnp.ndarray],
-                     keys: jax.Array):
+                     keys: jax.Array, pspec=None):
     """G optimization steps in ONE dispatch (lax.scan over stacked
     batches). ~27 ms of every dispatch is host-side enqueue through the
     remote tunnel that pipelining does not hide (PERFORMANCE.md); at
@@ -223,6 +240,7 @@ def train_step_multi(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     """
     def body(st, xs):
         batch, key = xs
-        st, losses = _train_step_impl(st, grid, cfg, tcfg, batch, key)
+        st, losses = _train_step_impl(st, grid, cfg, tcfg, batch, key,
+                                      pspec=pspec)
         return st, losses
     return jax.lax.scan(body, state, (batches, keys))

@@ -40,24 +40,35 @@ from ..ops.scatter import construct_vox_points_closest
 
 
 def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
-                        rot, near, far, bg):
+                        rot, near, far, bg, pspec=None):
     """Render (G,B,Rc,3) ray-dir chunks in ONE dispatch: lax.map over the
     G axis, with each body rendering B chunks stacked on the renderer's
     batch axis (campos/rot are (B,...)). B=1 is the classic chunk loop;
     B>1 (--chunk_stack) batches the per-chunk gathers/top_k into single
-    ops, amortizing their per-op floors (probe_bstack_render.py A/B)."""
+    ops, amortizing their per-op floors (probe_bstack_render.py A/B).
+    pspec (static) routes through the perspective querier
+    (wcoord_query=0)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg):
+    @functools.partial(jax.jit, static_argnames=("cfg", "pspec"))
+    def go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
+           pspec):
         def one(rd):
-            out = render_rays(params, cloud, grid, cfg, campos=campos,
-                              raydir=rd, camrotc2w=rot, near=near, far=far,
-                              bg_color=bg, is_train=False)
+            if pspec is not None:
+                from ..models.renderer import render_rays_perspective
+                out = render_rays_perspective(
+                    params, cloud, pspec, cfg, campos=campos, raydir=rd,
+                    camrotc2w=rot, near=near, far=far, bg_color=bg,
+                    is_train=False)
+            else:
+                out = render_rays(params, cloud, grid, cfg, campos=campos,
+                                  raydir=rd, camrotc2w=rot, near=near,
+                                  far=far, bg_color=bg, is_train=False)
             return out["coarse_raycolor"]          # (B, Rc, 3)
         return jax.lax.map(one, raydirs)
 
-    return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg)
+    return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
+              pspec)
 
 
 def get_latest_epoch(ckpt_dir: str) -> Optional[int]:
@@ -120,15 +131,21 @@ class SceneModel:
                 self.ray_mesh = make_mesh(n_ray)
                 print(f"[ray_shards] rays shard over {n_ray} devices "
                       f"(scene/params replicated, grad psum over ICI)")
-        if int(getattr(opt, "wcoord_query", 1)) == 0:
-            # the per-frame perspective-space querier exists
-            # (models/renderer.render_rays_perspective over ops/query_pers,
-            # reference query_point_indices.py) but the driver always runs
-            # the persistent world-space grid — on TPU rebuilding a frustum
-            # grid per frame wastes the persistent-grid design
-            print("[scene_model] wcoord_query=0 requested: the CLI uses the "
-                  "persistent world-space grid (perspective querier is "
-                  "available via render_rays_perspective)")
+        # wcoord_query=0 (the reference default, neural_points.py:426):
+        # Point-NeRF's perspective-space querier. The grid is rebuilt per
+        # frame in camera frustum coords; a STATIC frustum spec
+        # (perspective_spec_from_camera) keeps it one compile. Built lazily
+        # from the first item's intrinsics (ensure_pspec).
+        self.perspective = int(getattr(opt, "wcoord_query", 1)) == 0
+        self.pspec = None
+        if self.perspective:
+            assert not int(getattr(opt, "scene_shards", 0) or 0) \
+                and self.ray_mesh is None, (
+                "--wcoord_query 0 (perspective querier) is single-device: "
+                "use --wcoord_query 1 with --scene_shards/--ray_shards")
+            print("[scene_model] wcoord_query=0: per-frame perspective-space "
+                  "querier (reference query_point_indices.py); growing "
+                  "probes still use the world grid")
 
     # ------------------------------------------------------------- checkpoints
 
@@ -349,6 +366,38 @@ class SceneModel:
         self._finish_setup(None, cloud)
         print(f"scene set up with {n} points (capacity {cloud.capacity})")
 
+    # ------------------------------------------------------- perspective query
+
+    def ensure_pspec(self, item: Dict):
+        """Build the static frustum GridSpec once from the scene camera
+        (wcoord_query=0; reference get_hyperparameters in
+        query_point_indices.py derives the same bounds per frame — a fixed
+        spec keeps the per-frame grid rebuild one XLA program)."""
+        if not self.perspective or self.pspec is not None:
+            return
+        from ..ops.query_pers import perspective_spec_from_camera
+        opt = self.opt
+        W, H = int(opt.img_wh[0]), int(opt.img_wh[1])
+        n_act = int(self.state.cloud.n_active) if self.state is not None \
+            else 1_000_000
+        intr = np.asarray(item["intrinsic"], np.float32)[:3, :3]
+        max_o = int(opt.max_o) if opt.max_o else 0
+        P = int(opt.P) if opt.P else 16
+        spec = perspective_spec_from_camera(
+            intr, W, H, float(item["near"]), float(item["far"]),
+            self.grid_kwargs["vsize"], self.grid_kwargs["vscale"],
+            self.grid_kwargs["kernel_size"],
+            max_o or 1, P)
+        if not max_o:
+            # auto cap: every occupied frustum voxel holds >=1 point
+            import math
+            n_vox = math.prod(spec.vdim)
+            max_o = max(1024, min(n_vox, n_act))
+            spec = dataclasses.replace(spec, max_o=int(max_o))
+        self.pspec = spec
+        print(f"[scene_model] perspective frustum grid: vdim={spec.vdim} "
+              f"max_o={spec.max_o} P={spec.P}")
+
     # ---------------------------------------------------------------- training
 
     def optimize(self, batch: Dict, key) -> Dict[str, float]:
@@ -360,8 +409,12 @@ class SceneModel:
                 self.state, self.grid, self.cfg, self.tcfg, batch, key,
                 self.ray_mesh)
             return losses
+        if self.perspective:
+            assert self.pspec is not None, \
+                "perspective mode: call ensure_pspec(item) before optimize()"
         self.state, losses = train_step(
-            self.state, self.grid, self.cfg, self.tcfg, batch, key)
+            self.state, self.grid, self.cfg, self.tcfg, batch, key,
+            pspec=self.pspec)
         return losses
 
     def optimize_multi(self, batches, keys):
@@ -383,7 +436,8 @@ class SceneModel:
             self.state = jax.device_put(self.state, rep)
             self.grid = jax.device_put(self.grid, rep)
         self.state, losses = train_step_multi(
-            self.state, self.grid, self.cfg, self.tcfg, stacked, keys)
+            self.state, self.grid, self.cfg, self.tcfg, stacked, keys,
+            pspec=self.pspec)
         G = len(batches)
         return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
 
@@ -532,6 +586,8 @@ class SceneModel:
         R = len(raydir)
         if self.sharded_scene is not None:
             return self._render_image_spatial(item, raydir, chunk_rays)
+        if self.perspective:
+            self.ensure_pspec(item)
         G = max(1, int(chunks_per_dispatch))
         # --chunk_stack B: render B chunks per lax.map body on the batch
         # axis (single batched gathers); G stays the per-dispatch total
@@ -566,7 +622,7 @@ class SceneModel:
                 rds = ray_put(rds)
             cols.append(_render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
-                rot, near, far, bg))
+                rot, near, far, bg, pspec=self.pspec))
             # results stay on-device: dispatches pipeline, so device compute
             # of group i overlaps the enqueue of group i+1
         col = np.concatenate([np.asarray(c).reshape(-1, 3)

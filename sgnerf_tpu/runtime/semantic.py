@@ -7,11 +7,16 @@ point cloud + viewNum sampled train images, stores (labels, probs, 96-d
 embeddings) on the points (`set_bpnet_feats`), and samples per-pixel labels
 from BPNet's 2D prediction for the semantic-guided query.
 
-TPU delta: the per-step host IO (images/depths/poses + link building) runs on
-a background thread one step ahead so the device never waits (SURVEY.md §7
-"BPNet's per-step CPU work must move to a prefetching host pipeline").
+TPU delta (SURVEY.md §7 "BPNet's per-step CPU work must move to a prefetching
+host pipeline"): refreshes after the first run on a BACKGROUND thread. The
+point snapshot (a device->host read, donation-safe only on the main thread)
+happens at launch; image IO, link building, voxelization, the BPNet forward
+and the devoxelize then all overlap subsequent training dispatches, and the
+result is applied to the cloud when the worker finishes — semantics lag the
+optimization by the BPNet latency instead of stalling every refresh step.
 `refresh_every` batches the full-cloud inference (labels change slowly), an
-explicit speed/fidelity knob the reference lacks.
+explicit speed/fidelity knob the reference lacks (it pays the full BPNet on
+every step).
 """
 from __future__ import annotations
 
@@ -37,32 +42,102 @@ class SemanticDriver:
         self._step = 0
         self._last: Optional[Dict[str, np.ndarray]] = None
         self._pixel_label_maps: Optional[np.ndarray] = None
+        self._worker: Optional[threading.Thread] = None
+        self._result = None
+        self._lock = threading.Lock()
+        self.n_applied = 0       # refreshes applied to the cloud
+        self.n_background = 0    # of those, run on the background thread
 
-    def maybe_refresh(self, model, dataset, item) -> None:
-        """Run BPNet if due; update the model's point cloud semantics."""
-        if self._step % self.refresh_every == 0 or self._last is None:
-            cloud = model.state.cloud
-            act = np.asarray(cloud.active)
-            locs = np.asarray(cloud.xyz)[act]
-            feats = np.asarray(cloud.feats)[act]
-            intr4 = np.eye(4)
-            intr4[:3, :3] = np.asarray(item["intrinsic"])
-            labels, probs, labels2d, point_feat, _ = self.bpnet.train_bpnet(
-                locs, feats, item["train_id_paths"], item["image_path"],
-                intr4)
-            self._last = {"labels": labels, "probs": probs,
-                          "point_feat": point_feat}
-            self._pixel_label_maps = labels2d      # (V,h,w)
-            model.state = dataclasses.replace(
-                model.state,
-                cloud=set_bpnet_feats(
-                    model.state.cloud, jnp.asarray(probs),
-                    jnp.asarray(labels), jnp.asarray(point_feat)))
-            if getattr(model, "push_semantics_to_shards", None):
-                # slab-sharded scenes: mirror the refreshed semantics into
-                # every shard's local rows (parallel/spatial.py)
-                model.push_semantics_to_shards()
-        self._step += 1
+    # ---------------------------------------------------------------- internal
+
+    def _snapshot(self, model, item):
+        """Main-thread device->host read of the (active) cloud rows. Must NOT
+        run on the worker: train_step donates its input state, so a
+        background read could touch a deleted buffer."""
+        cloud = model.state.cloud
+        act = np.asarray(cloud.active)
+        locs = np.asarray(cloud.xyz)[act]
+        feats = np.asarray(cloud.feats)[act]
+        intr4 = np.eye(4)
+        intr4[:3, :3] = np.asarray(item["intrinsic"])[:3, :3]
+        return locs, feats, item["train_id_paths"], item["image_path"], intr4
+
+    def _apply(self, model, out) -> None:
+        self.n_applied += 1
+        labels, probs, labels2d, point_feat, _ = out
+        self._last = {"labels": labels, "probs": probs,
+                      "point_feat": point_feat}
+        self._pixel_label_maps = labels2d          # (V,h,w)
+        model.state = dataclasses.replace(
+            model.state,
+            cloud=set_bpnet_feats(
+                model.state.cloud, jnp.asarray(probs),
+                jnp.asarray(labels), jnp.asarray(point_feat)))
+        if getattr(model, "push_semantics_to_shards", None):
+            # slab-sharded scenes: mirror the refreshed semantics into
+            # every shard's local rows (parallel/spatial.py)
+            model.push_semantics_to_shards()
+
+    def _launch(self, snap) -> None:
+        locs, feats, paths, image_path, intr4 = snap
+
+        self.n_background += 1
+
+        def work():
+            out = self.bpnet.train_bpnet(locs, feats, paths, image_path,
+                                         intr4)
+            with self._lock:
+                self._result = out
+
+        self._worker = threading.Thread(target=work, daemon=True,
+                                        name="bpnet-refresh")
+        self._worker.start()
+
+    def _harvest(self, model, wait: bool = False) -> None:
+        if self._worker is None:
+            return
+        if wait:
+            self._worker.join()
+        elif self._worker.is_alive():
+            return
+        self._worker = None
+        with self._lock:
+            out, self._result = self._result, None
+        if out is not None:
+            self._apply(model, out)
+
+    # ------------------------------------------------------------------ public
+
+    def maybe_refresh(self, model, dataset, item, steps: int = 1) -> None:
+        """Apply any finished background refresh; if one is due, start the
+        next (first-ever refresh runs synchronously so the guided query has
+        semantics from step 0). `steps` = how many optimization steps the
+        caller will run before the next call (multi-step dispatch groups)."""
+        self._harvest(model)
+        due = (self._last is None
+               or self._step % self.refresh_every == 0
+               or (self._step // self.refresh_every)
+               != ((self._step + steps - 1) // self.refresh_every))
+        self._step += steps
+        if not due:
+            return
+        if self._last is None:
+            self._harvest(model, wait=True)        # an in-flight first run
+            if self._last is not None:
+                return
+            snap = self._snapshot(model, item)
+            out = self.bpnet.train_bpnet(*snap)
+            self._apply(model, out)
+        elif self._worker is None:
+            # one refresh in flight at a time; a due tick while the previous
+            # refresh is still running is skipped (it would only produce a
+            # staler result than the one already in flight)
+            self._launch(self._snapshot(model, item))
+
+    def flush(self, model) -> None:
+        """Block until any in-flight refresh is applied (checkpoint/test
+        boundaries, so exported semantics are never mid-flight)."""
+        self._harvest(model, wait=True)
 
     def pixel_labels_for(self, item) -> Optional[np.ndarray]:
         """Per-batch-pixel labels from BPNet's 2D prediction for the current

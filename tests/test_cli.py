@@ -48,6 +48,7 @@ COMMON = [
     "--lr_decay_iters", "1000000", "--raydist_mode_unit", "1",
     "--bg_color", "white", "--edge_filter", "2", "--vox_res", "0",
     "--ranges", "-10", "-10", "-10", "10", "10", "10",
+    "--wcoord_query", "1",
 ]
 
 
@@ -104,3 +105,31 @@ def test_train_ft_cli_ray_shards_matches_unsharded(scene_dir, tmp_path):  # noqa
     l1, l2 = losses_of(r1.stdout), losses_of(r2.stdout)
     assert len(l1) == len(l2) == 4
     np.testing.assert_allclose(l1, l2, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_train_ft_cli_perspective_querier(scene_dir, tmp_path):  # noqa: F811
+    """--wcoord_query 0 routes train+eval through the perspective-space
+    querier (reference query_point_indices.py via neural_points.py:426);
+    the run must actually hit points (ray_masked loss active), not fall
+    back to background."""
+    import re
+    args = ["--name", "pers", "--data_root", scene_dir,
+            "--checkpoints_dir", str(tmp_path),
+            "--maximum_step", "4", "--save_iter_freq", "4",
+            "--test_freq", "0", "--print_freq", "1", "--test_num", "1",
+            ] + COMMON + ["--wcoord_query", "0"]
+    r = _run("train_ft.py", args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "perspective frustum grid" in r.stdout
+    assert "training done" in r.stdout
+    masked = [float(m.group(1)) for m in re.finditer(
+        r"ray_masked_coarse_raycolor: ([0-9.]+)", r.stdout)]
+    assert masked and any(v > 0 for v in masked)
+
+    r2 = _run("test_ft.py", [
+        "--name", "pers", "--data_root", scene_dir,
+        "--checkpoints_dir", str(tmp_path), "--resume_iter", "latest",
+        "--test_num_step", "3"] + COMMON + ["--wcoord_query", "0"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "mean psnr" in r2.stdout

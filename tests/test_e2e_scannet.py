@@ -98,6 +98,7 @@ def _opt(scene_dir, tmpdir, extra=()):
         "--test_freq", "0", "--print_freq", "3",
         "--bg_color", "white", "--edge_filter", "2", "--vox_res", "0",
         "--ranges", "-10", "-10", "-10", "10", "10", "10",
+        "--wcoord_query", "1",
     ] + list(extra)
     return TrainOptions().parse(args)
 
@@ -240,3 +241,42 @@ def test_get_init_item(scene_dir, tmp_path):
               for v in ds.id_list if v != item["view_ids"][0]]
     dmin = min(np.linalg.norm(o - ref) for o in others)
     assert abs(d1 - dmin) < 1e-5
+
+
+def test_semantic_background_refresh(scene_dir, tmp_path):
+    """Refreshes after the first run on a background thread (SURVEY §7 host
+    pipeline): due ticks launch a worker, training continues, and the result
+    is applied on a later call — no per-step BPNet stall."""
+    from sgnerf_tpu.data import create_dataset
+    from sgnerf_tpu.runtime import SceneModel
+    from sgnerf_tpu.runtime.semantic import SemanticDriver
+    import run.train_ft as train_ft
+    import jax
+
+    opt = _opt(scene_dir, tmp_path, extra=[
+        "--predict_semantic", "1", "--semantic_guidance", "1",
+        "--shading_feature_mlp_layer2_bpnet", "1",
+        "--bpnet_refresh_every", "2"])
+    dataset = create_dataset(opt)
+    model = SceneModel(opt)
+    xyz, feats, labels = dataset.load_init_points()
+    model.setup_from_points(xyz, feats, labels, dataset=dataset)
+
+    sem = SemanticDriver(opt, key=jax.random.key(0))
+    rng = np.random.default_rng(0)
+    key = jax.random.key(1)
+    for s in range(5):
+        item = dataset.get_item(s % len(dataset), rng=rng)
+        sem.maybe_refresh(model, dataset, item)
+        pl = sem.pixel_labels_for(item)
+        assert pl is not None            # first refresh is synchronous
+        item["pixel_label"] = pl
+        key, k = jax.random.split(key)
+        losses = model.optimize(train_ft.make_batch(item), k)
+        assert np.isfinite(float(losses["total"]))
+    sem.flush(model)
+    # steps 0..4 with refresh_every=2: sync first at step 0, background
+    # launches due at steps 2/4 (4's may be skipped if 2's is in flight)
+    assert sem.n_background >= 1
+    assert sem.n_applied >= 2
+    assert np.abs(np.asarray(model.state.cloud.sem_embedding)).sum() > 0

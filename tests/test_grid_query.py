@@ -453,3 +453,69 @@ def test_max_o_overflow_warns(capsys):
                              ranges=[-2.0] * 3 + [2.0] * 3)
     build_point_grid(jnp.asarray(xyz), jnp.ones(5000, bool), spec)
     assert "max_o" in capsys.readouterr().out
+
+
+def test_world_vs_perspective_render_parity():
+    """On a frustum-contained scene built so both queriers must select the
+    SAME neighbor sets (tight clusters placed exactly at ray-sample
+    positions, separated farther than either kernel's reach), the
+    world-coords path (wcoord_query=1) and the perspective path
+    (wcoord_query=0, reference query_point_indices.py) render identical
+    colors up to the pers<->world roundtrip epsilon."""
+    import jax
+    from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                              init_aggregator_params)
+    from sgnerf_tpu.models.point_cloud import (
+        make_point_cloud, build_grid, grid_spec_for_cloud)
+    from sgnerf_tpu.models.renderer import (RenderConfig, render_rays,
+                                            render_rays_perspective)
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+
+    rng = np.random.default_rng(7)
+    near, far, D = 1.0, 5.0, 12           # sample spacing 1/3
+    R = 6
+    # hit-ray directions separated by >=0.7 TAN-ANGLE units (rays are
+    # vertical lines in perspective space: clusters must be farther apart
+    # than radius_limit+kernel reach in BOTH metrics, angular included)
+    lat = np.array([[0.0, 0.0], [0.5, 0.5], [0.5, -0.5],
+                    [-0.5, 0.5], [-0.5, -0.5], [0.0, 0.0]], np.float32)
+    d = np.concatenate([lat, np.ones((R, 1), np.float32)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # one miss ray
+    d[-1] = np.array([0.0, 0.95, 0.3], np.float32)
+    d[-1] /= np.linalg.norm(d[-1])
+    # 3-point clusters exactly at one sample position per hit ray
+    pts = []
+    for r in range(R - 1):
+        i = 2 + r
+        t = near + (i + 0.5) * (far - near) / D
+        c = t * d[r]
+        pts += [c + rng.uniform(-0.008, 0.008, 3).astype(np.float32)
+                for _ in range(3)]
+    xyz = np.stack(pts).astype(np.float32)
+    emb = rng.normal(size=(len(xyz), 32)).astype(np.float32) * 0.1
+    cloud = make_point_cloud(xyz, emb,
+                             color=np.full((len(xyz), 3), 0.5, np.float32),
+                             dir=np.tile(np.array([0, 0, 1], np.float32),
+                                         (len(xyz), 1)))
+    cfg = RenderConfig(agg=AggregatorConfig(act_type="LeakyReLU"),
+                       z_depth_dim=D, SR=4, K=4, vsize=(0.05,) * 3)
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    wspec = grid_spec_for_cloud(cloud, vsize=[0.05] * 3, vscale=[2, 2, 2],
+                                kernel_size=[3, 3, 3], max_o=8192, P=16)
+    grid = build_grid(cloud, wspec)
+    intr = np.array([[40.0, 0, 24], [0, 40.0, 24], [0, 0, 1]])
+    pspec = perspective_spec_from_camera(intr, 48, 48, near, far,
+                                         [0.05] * 3, [2, 2, 2], [3, 3, 3],
+                                         8192, 16)
+    kw = dict(campos=jnp.zeros((1, 3)), raydir=jnp.asarray(d)[None],
+              camrotc2w=jnp.eye(3)[None], near=near, far=far,
+              bg_color=jnp.asarray([0.2, 0.4, 0.6]))
+    ow = render_rays(params, cloud, grid, cfg, **kw)
+    op = render_rays_perspective(params, cloud, pspec, cfg, **kw)
+    mw = np.asarray(ow["ray_mask"])
+    mp = np.asarray(op["ray_mask"])
+    np.testing.assert_array_equal(mw, mp)
+    assert mw[0, :-1].all() and not mw[0, -1]
+    np.testing.assert_allclose(np.asarray(ow["coarse_raycolor"]),
+                               np.asarray(op["coarse_raycolor"]), atol=1e-4)

@@ -208,6 +208,7 @@ def test_scene_model_spatial_training_wiring(tmp_path):
         "--color_loss_weights", "1.0",
         "--ranges", "-3", "-3", "-3", "3", "3", "3",
         "--lr", "0.002", "--plr", "0.01",
+        "--wcoord_query", "1",
     ])
     model = SceneModel(opt)
     model.setup_from_points(xyz, None, None)
