@@ -48,6 +48,12 @@ class BPNetConfig:
     #                                  inference-mode per the reference's
     #                                  fix_bn, so stats stay valid); logits
     #                                  and the 96-d point feature return f32
+    aug: int = 0                     # train-time 2D augmentation (reference
+    #                                  bpneter/bpnet.py:195-201 aug branch:
+    #                                  p=0.5 gaussian blur + mean-padded
+    #                                  rand crop jitter); the reference's
+    #                                  effective SG-NeRF config runs with
+    #                                  aug=False, so 0 is the parity default
 
 
 # ------------------------------------------------------------------- host ops
@@ -260,11 +266,23 @@ class BPNet:
         return chosen[:V]
 
     def _load_view(self, path: str, coords_world: np.ndarray,
-                   intrinsic4: np.ndarray):
+                   intrinsic4: np.ndarray,
+                   rng: "np.random.Generator | None" = None):
         from PIL import Image
         wh = self.cfg.img_wh
         with Image.open(path) as im:
-            img = np.asarray(im.resize(wh, Image.NEAREST), np.float32)
+            im = im.resize(wh, Image.NEAREST)
+            if self.cfg.aug and rng is not None and rng.random() < 0.5:
+                # train-time 2D augmentation (reference
+                # bpnet_dataset/augmentation_2d.py RandomGaussianBlur: p=0.5
+                # 5x5 cv2.GaussianBlur). The reference aug pipeline's other
+                # member, Crop([h+1,w+1], 'rand', mean padding), only ADDS a
+                # 1px mean border without moving content (pad_half=0 and the
+                # rand offset range collapses to 0), so the blur is the only
+                # content-changing transform and links/labels stay aligned.
+                from PIL import ImageFilter
+                im = im.filter(ImageFilter.GaussianBlur(radius=1.1))
+            img = np.asarray(im, np.float32)
         dp = path.replace("color", "depth").replace(".jpg", ".png")
         with Image.open(dp) as im:
             depth = np.asarray(im.resize(wh, Image.NEAREST),
@@ -296,8 +314,10 @@ class BPNet:
         views = self._select_views(list(frames), image_path)
 
         imgs, links, gts = [], [], []
+        rng = (np.random.default_rng() if self.cfg.aug else None)
         for vpath in views:
-            img, link, gt = self._load_view(vpath, locs_in, intrinsic4)
+            img, link, gt = self._load_view(vpath, locs_in, intrinsic4,
+                                            rng=rng)
             imgs.append(img)
             links.append(link)
             gts.append(gt)

@@ -406,8 +406,10 @@ def _xla_ref(cfgt, feat, d, w, block1, alpha_branch):
 # Backward tile: the kernel holds ~3x the forward's live activations
 # (recompute + grads), so it runs a smaller tile than the forward's 320.
 # SGNERF_BWD_TM overrides for tile sweeps (dev_scripts/probe_train_fused.py);
-# VMEM ceiling AOT-verified on v5e: 160 compiles, 192 OOMs.
-_BWD_TM = int(os.environ.get("SGNERF_BWD_TM", "128"))
+# VMEM ceiling AOT-verified on v5e: 160 compiles, 192 OOMs. TPU sweep at
+# 1024-ray steps: 64 -> 80.1 ms, 96 -> 79.9, 160 -> 77.9 (vs 86.0 un-fused)
+# — 160, the ceiling, is the default.
+_BWD_TM = int(os.environ.get("SGNERF_BWD_TM", "160"))
 
 
 def _bwd_kernel(feat_ref, d_ref, w_ref, g_ref,

@@ -545,15 +545,25 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
         # (well past any radius_limit after reconstruction)
         xyzs = jnp.where(sel_ok[..., None], xyzs - center[:, None, :], 1e9)
         dt = jnp.bfloat16 if spec.cache_dtype == "bfloat16" else jnp.float32
-        return xyzs.astype(dt), pidx
+        # pack INSIDE the chunk body: stacking the raw (chunk,C,3) offsets
+        # across the whole map and packing afterwards materialized an
+        # s16[max_d,C,3] temp whose (…,C,3) minor dims pad 2x under the TPU
+        # (8,128) tiling — 7.5 GB at the 4.2M-point scene (HBM OOM); the
+        # packed (chunk, C*W) planar rows stack straight into the final
+        # table layout instead
+        return pack_cache(xyzs.astype(dt), pidx.astype(jnp.int32),
+                          spec.cache_dtype)
 
-    chunk = max(1, min(65536, max_d))
+    # build-time chunk: rebuild timing is flat 16k..262k (PERFORMANCE.md
+    # chunk sweep) but per-chunk transients scale with it — at reference
+    # scale (max_d ~10.5M, 4.2M points) the (chunk,27,P,3) candidate
+    # buffers plus the 6.7 GB packed output must coexist in HBM, so the
+    # big-scene regime drops to 16k
+    chunk = max(1, min(65536 if max_d <= 6_291_456 else 16384, max_d))
     n_chunks = (max_d + chunk - 1) // chunk
     pad = n_chunks * chunk - max_d
     sc_pad = jnp.concatenate(
         [dcoords, jnp.full((pad, 3), -1, jnp.int32)]) if pad else dcoords
-    xs, ps = jax.lax.map(one_chunk, sc_pad.reshape(n_chunks, chunk, 3))
-    nbr_xyz = xs.reshape(-1, C, 3)[:max_d]
-    nbr_pidx = ps.reshape(-1, C)[:max_d].astype(jnp.int32)
-    return (dil_slot.reshape(X, Y, Z),
-            pack_cache(nbr_xyz, nbr_pidx, spec.cache_dtype))
+    packed = jax.lax.map(one_chunk, sc_pad.reshape(n_chunks, chunk, 3))
+    packed = packed.reshape(n_chunks * chunk, -1)[:max_d]
+    return dil_slot.reshape(X, Y, Z), packed

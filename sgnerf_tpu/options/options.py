@@ -178,8 +178,10 @@ _F = [
     ("knn_mode", str, "auto", None),
     # two-level sample compaction (0=off): coarse supervoxel pre-test cuts
     # the dominant per-sample occupancy-gather rows (ops/grid.py GridSpec)
-    ("coarse_factor", int, 0, None), ("seg_len", int, 4, None),
-    ("seg_cap", int, 32, None),
+    ("coarse_factor", int, -1, None), ("seg_len", int, 4, None),
+    ("seg_cap", int, 32, None),  # coarse_factor -1 = auto: F=4/L=4/C=24
+    #                              (TPU A/B +7% render) when the
+    #                              conservativeness bound holds; 0 = off
     # JAX profiler trace (xprof): capture steps [profile_start,
     # profile_start+profile_steps) of training into profile_dir
     ("profile_dir", str, "", None), ("profile_start", int, 10, None),
@@ -205,6 +207,9 @@ _F = [
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
+    ("bpnet_aug", int, 0, None),  # train-time 2D blur augmentation
+    #                               (reference aug branch; default off like
+    #                               the reference's effective config)
     ("classes", int, 20, None), ("arch_3d", str, "MinkUNet18A", None),
     ("bpnetweight", str, "../bpnetInitmodel/bpnet_5cm.pth.tar", None),
     ("bpnet_lr", float, 0.01, None), ("bpnet_momentum", float, 0.9, None),
@@ -443,4 +448,17 @@ def configs_from_opt(opt):
         coarse_factor=opt.coarse_factor, seg_len=opt.seg_len,
         seg_cap=opt.seg_cap, cache_dtype=opt.cache_dtype,
     )
+    if int(opt.coarse_factor) < 0:
+        # auto: two-level coarse occupancy compaction, measured +6.6-7.7%
+        # on TPU renders at F=4 L=4 C=24 (dev_scripts/probe_coarse_ab.py).
+        # Enabled only when conservative — never misses a flat-path hit —
+        # which requires (L-1)/2 * sample_step < F * scaled_vsize
+        # (ops/query.py _two_level_hits)
+        step = (float(opt.far_plane) - float(opt.near_plane)) \
+            / max(int(opt.z_depth_dim), 1)
+        vs = float(max(opt.vsize)) * float(max(opt.vscale))
+        if step > 0 and 1.5 * step < 4.0 * vs:
+            grid_kwargs.update(coarse_factor=4, seg_len=4, seg_cap=24)
+        else:
+            grid_kwargs.update(coarse_factor=0)
     return cfg, tcfg, grid_kwargs

@@ -36,7 +36,8 @@ class SemanticDriver:
         self.cfg = BPNetConfig(
             classes=opt.classes, view_num=3,
             img_wh=tuple(opt.img_wh), layers_2d=opt.layers_2d,
-            compute_dtype=getattr(opt, "bpnet_dtype", "float32"))
+            compute_dtype=getattr(opt, "bpnet_dtype", "float32"),
+            aug=int(getattr(opt, "bpnet_aug", 0)))
         self.bpnet = BPNet(self.cfg, params=params, key=key)
         self.refresh_every = max(1, getattr(opt, "bpnet_refresh_every", 1))
         self._step = 0

@@ -144,3 +144,46 @@ def test_bpnet_bf16_agrees_with_f32():
     lab16 = np.asarray(sm16).argmax(-1)[act]
     assert (lab32 == lab16).mean() > 0.95, (lab32 == lab16).mean()
     assert np.isfinite(np.asarray(f16feat)).all()
+
+
+def test_bpnet_2d_aug_blur(tmp_path):
+    """--bpnet_aug: p=0.5 gaussian blur on the 2D branch input (reference
+    bpnet_dataset/augmentation_2d.py RandomGaussianBlur; the reference's
+    Crop member never moves content so blur is the whole augmentation).
+    Links and labels must be untouched."""
+    import os
+    import numpy as np
+    from PIL import Image
+    from sgnerf_tpu.models.bpnet.bpnet import BPNet, BPNetConfig
+
+    for sub in ("color", "depth", "pose", "label"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (24, 32, 3))).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "color/0.jpg")
+    Image.fromarray((np.full((24, 32), 2000)).astype(np.uint16)).save(
+        tmp_path / "depth/0.png")
+    np.savetxt(tmp_path / "pose/0.txt", np.eye(4))
+    Image.fromarray(rng.integers(0, 20, (24, 32)).astype(np.int32),
+                    mode="I").save(tmp_path / "label/0.png")
+    intr4 = np.eye(4); intr4[0, 0] = intr4[1, 1] = 20.0
+    intr4[0, 2], intr4[1, 2] = 16, 12
+    pts = rng.normal(size=(50, 3)).astype(np.float32) + [0, 0, 2]
+
+    net = BPNet.__new__(BPNet)        # no params needed for _load_view
+    net.cfg = BPNetConfig(img_wh=(32, 24), aug=0)
+    base, link0, lab0 = net._load_view(str(tmp_path / "color/0.jpg"), pts,
+                                       intr4)
+    net.cfg = BPNetConfig(img_wh=(32, 24), aug=1)
+    blur_seen = same_seen = False
+    for seed in range(8):
+        im, link, lab = net._load_view(str(tmp_path / "color/0.jpg"), pts,
+                                       intr4,
+                                       rng=np.random.default_rng(seed))
+        np.testing.assert_array_equal(link, link0)
+        np.testing.assert_array_equal(lab, lab0)
+        if np.abs(im - base).max() > 1e-4:
+            blur_seen = True
+        else:
+            same_seen = True
+    assert blur_seen and same_seen   # p=0.5: both branches occur
