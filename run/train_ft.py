@@ -173,7 +173,7 @@ def main():
     # compatible: the BPNet refresh runs on a background thread between
     # dispatch groups (runtime/semantic.py)
     G_max = max(1, int(getattr(opt, "steps_per_dispatch", 1)))
-    if opt.profile_dir or model.sharded_scene is not None:
+    if opt.profile_dir:
         G_max = 1
 
     def _next_event(step):

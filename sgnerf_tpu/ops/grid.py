@@ -349,7 +349,15 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             bucket = 262144
             max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)
             max_d = max(max_d, min(bucket, nvox))
-        dil_slot, nbr_packed = _build_nbr_cache_jit(grid, spec, max_d)
+        if max_d > 6_291_456 and not isinstance(grid.occ_mask,
+                                                jax.core.Tracer):
+            # reference scale: block-wise build into a donated table (the
+            # one-shot program needs 2x the table in HBM — see
+            # _build_nbr_cache_blocked)
+            dil_slot, nbr_packed = _build_nbr_cache_blocked(grid, spec,
+                                                            max_d)
+        else:
+            dil_slot, nbr_packed = _build_nbr_cache_jit(grid, spec, max_d)
         nbr_packed = _force_row_major(nbr_packed)
         grid = dataclasses.replace(grid, dil_slot=dil_slot,
                                    nbr_packed=nbr_packed)
@@ -486,19 +494,12 @@ def _build_nbr_cache_jit(grid: PointGrid, spec: GridSpec, max_d: int):
     return _build_nbr_cache(grid, spec, max_d)
 
 
-def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
-    """Merged-neighborhood cache over the DILATED voxel set: every voxel a
-    shading point can land in (occ_mask=1) gets a slot holding the C
-    candidates of its 3^3 neighborhood nearest its center — a tight superset
-    of any interior shading point's K nearest (recall validated against the
-    exact 27-voxel search in tests). One-time cost per grid rebuild; chunked
-    to bound the (chunk, 27, P, 3) transient."""
-    C = spec.nbr_cache
+def _dilated_enumeration(grid: PointGrid, spec: GridSpec, max_d: int):
+    """Enumerate dilated voxels (ascending linear id) -> (dil_slot (X,Y,Z),
+    dcoords (max_d,3) with -1 padding). max_d is sized from the actual
+    dilated count by the caller, so nothing is dropped."""
     X, Y, Z = spec.vdim
     nvox = X * Y * Z
-
-    # enumerate dilated voxels (ascending linear id); max_d is sized from
-    # the actual dilated count by the caller, so nothing is dropped
     occ_flat = grid.occ_mask.reshape(-1) > 0
     (dil_lin,) = jnp.nonzero(occ_flat, size=max_d, fill_value=nvox)
     dil_valid = dil_lin < nvox
@@ -508,7 +509,12 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
     dcoords = jnp.stack([dil_lin // (Y * Z), (dil_lin // Z) % Y,
                          dil_lin % Z], axis=-1).astype(jnp.int32)
     dcoords = jnp.where(dil_valid[:, None], dcoords, -1)
+    return dil_slot.reshape(X, Y, Z), dcoords
 
+
+def _cache_one_chunk(grid: PointGrid, spec: GridSpec, sl_coords):
+    """(S,3) dilated-voxel coords (-1 = pad) -> (S, C*W) packed cache rows."""
+    C = spec.nbr_cache
     kx, ky, kz = spec.kernel_size
     offs = np.stack(np.meshgrid(
         np.arange(kx) - kx // 2, np.arange(ky) - ky // 2,
@@ -517,53 +523,108 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
     Kv = offs.shape[0]
     vdim = jnp.asarray(spec.vdim, jnp.int32)
 
-    def one_chunk(sl_coords):  # (S,3)
-        valid = sl_coords[:, 0] >= 0
-        nbr = sl_coords[:, None, :] + offs                 # (S,Kv,3)
-        ok = jnp.all((nbr >= 0) & (nbr < vdim), axis=-1)
-        nc = jnp.clip(nbr, 0, vdim - 1)
-        s = take3d(grid.vox_slot, nc, spec.vdim)
-        s_ok = ok & (s >= 0)
-        sc = jnp.clip(s, 0, spec.max_o - 1)
-        cxyz = grid.bucket_xyz[sc]                         # (S,Kv,P,3)
-        cpid = jnp.where(s_ok[..., None], grid.bucket_pnts[sc], -1)
-        center = (sl_coords.astype(jnp.float32) + 0.5) * spec.vsize_arr \
-            + spec.min_corner_arr
-        d2 = jnp.sum((cxyz - center[:, None, None, :]) ** 2, axis=-1)
-        d2 = jnp.where((cpid >= 0) & s_ok[..., None], d2, jnp.inf)
-        S = sl_coords.shape[0]
-        d2f = d2.reshape(S, Kv * spec.P)
-        neg, idx = jax.lax.top_k(-d2f, C)
-        sel_ok = jnp.isfinite(-neg) & valid[:, None]
-        pidx = jnp.where(sel_ok,
-                         jnp.take_along_axis(
-                             cpid.reshape(S, -1), idx, axis=-1), -1)
-        xyzs = jnp.take_along_axis(
-            cxyz.reshape(S, -1, 3), idx[..., None], axis=1)
-        # store OFFSETS from the voxel center: bounded by ~kernel/2 voxels,
-        # so low-precision cache_dtype stays accurate; padding parks at 1e9
-        # (well past any radius_limit after reconstruction)
-        xyzs = jnp.where(sel_ok[..., None], xyzs - center[:, None, :], 1e9)
-        dt = jnp.bfloat16 if spec.cache_dtype == "bfloat16" else jnp.float32
-        # pack INSIDE the chunk body: stacking the raw (chunk,C,3) offsets
-        # across the whole map and packing afterwards materialized an
-        # s16[max_d,C,3] temp whose (…,C,3) minor dims pad 2x under the TPU
-        # (8,128) tiling — 7.5 GB at the 4.2M-point scene (HBM OOM); the
-        # packed (chunk, C*W) planar rows stack straight into the final
-        # table layout instead
-        return pack_cache(xyzs.astype(dt), pidx.astype(jnp.int32),
-                          spec.cache_dtype)
+    valid = sl_coords[:, 0] >= 0
+    nbr = sl_coords[:, None, :] + offs                 # (S,Kv,3)
+    ok = jnp.all((nbr >= 0) & (nbr < vdim), axis=-1)
+    nc = jnp.clip(nbr, 0, vdim - 1)
+    s = take3d(grid.vox_slot, nc, spec.vdim)
+    s_ok = ok & (s >= 0)
+    sc = jnp.clip(s, 0, spec.max_o - 1)
+    cxyz = grid.bucket_xyz[sc]                         # (S,Kv,P,3)
+    cpid = jnp.where(s_ok[..., None], grid.bucket_pnts[sc], -1)
+    center = (sl_coords.astype(jnp.float32) + 0.5) * spec.vsize_arr \
+        + spec.min_corner_arr
+    d2 = jnp.sum((cxyz - center[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where((cpid >= 0) & s_ok[..., None], d2, jnp.inf)
+    S = sl_coords.shape[0]
+    d2f = d2.reshape(S, Kv * spec.P)
+    neg, idx = jax.lax.top_k(-d2f, C)
+    sel_ok = jnp.isfinite(-neg) & valid[:, None]
+    pidx = jnp.where(sel_ok,
+                     jnp.take_along_axis(
+                         cpid.reshape(S, -1), idx, axis=-1), -1)
+    xyzs = jnp.take_along_axis(
+        cxyz.reshape(S, -1, 3), idx[..., None], axis=1)
+    # store OFFSETS from the voxel center: bounded by ~kernel/2 voxels,
+    # so low-precision cache_dtype stays accurate; padding parks at 1e9
+    # (well past any radius_limit after reconstruction)
+    xyzs = jnp.where(sel_ok[..., None], xyzs - center[:, None, :], 1e9)
+    dt = jnp.bfloat16 if spec.cache_dtype == "bfloat16" else jnp.float32
+    # pack INSIDE the chunk body: stacking the raw (chunk,C,3) offsets
+    # across the whole map and packing afterwards materialized an
+    # s16[max_d,C,3] temp whose (…,C,3) minor dims pad 2x under the TPU
+    # (8,128) tiling — 7.5 GB at the 4.2M-point scene (HBM OOM); the
+    # packed (chunk, C*W) planar rows stack straight into the final
+    # table layout instead
+    return pack_cache(xyzs.astype(dt), pidx.astype(jnp.int32),
+                      spec.cache_dtype)
 
-    # build-time chunk: rebuild timing is flat 16k..262k (PERFORMANCE.md
-    # chunk sweep) but per-chunk transients scale with it — at reference
-    # scale (max_d ~10.5M, 4.2M points) the (chunk,27,P,3) candidate
-    # buffers plus the 6.7 GB packed output must coexist in HBM, so the
-    # big-scene regime drops to 16k
-    chunk = max(1, min(65536 if max_d <= 6_291_456 else 16384, max_d))
+
+def _cache_rows(grid: PointGrid, spec: GridSpec, dcoords, chunk: int):
+    """Map _cache_one_chunk over (N,3) coords (N divisible by chunk)."""
+    n_chunks = dcoords.shape[0] // chunk
+    packed = jax.lax.map(lambda c: _cache_one_chunk(grid, spec, c),
+                         dcoords.reshape(n_chunks, chunk, 3))
+    return packed.reshape(n_chunks * chunk, -1)
+
+
+def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
+    """Merged-neighborhood cache over the DILATED voxel set: every voxel a
+    shading point can land in (occ_mask=1) gets a slot holding the C
+    candidates of its 3^3 neighborhood nearest its center — a tight superset
+    of any interior shading point's K nearest (recall validated against the
+    exact 27-voxel search in tests). One-time cost per grid rebuild; chunked
+    to bound the (chunk, 27, P, 3) transient."""
+    dil_slot, dcoords = _dilated_enumeration(grid, spec, max_d)
+    chunk = max(1, min(65536, max_d))
     n_chunks = (max_d + chunk - 1) // chunk
     pad = n_chunks * chunk - max_d
     sc_pad = jnp.concatenate(
         [dcoords, jnp.full((pad, 3), -1, jnp.int32)]) if pad else dcoords
-    packed = jax.lax.map(one_chunk, sc_pad.reshape(n_chunks, chunk, 3))
-    packed = packed.reshape(n_chunks * chunk, -1)[:max_d]
-    return dil_slot.reshape(X, Y, Z), packed
+    return dil_slot, _cache_rows(grid, spec, sc_pad, chunk)[:max_d]
+
+
+_CACHE_BLOCK = 2_097_152     # rows per macro-block (tests shrink this)
+_BLOCK_CHUNK = 16384         # lax.map chunk inside a block
+
+
+@partial(jax.jit, static_argnames=("spec",), donate_argnums=(0,))
+def _fill_cache_block(out, grid: PointGrid, dcoords_block, offset,
+                      spec: GridSpec):
+    """Write one macro-block of packed cache rows into the DONATED output
+    table at a traced row offset (one compile for all blocks)."""
+    rows = _cache_rows(grid, spec, dcoords_block,
+                       min(_BLOCK_CHUNK, dcoords_block.shape[0]))
+    return jax.lax.dynamic_update_slice(out, rows, (offset, 0))
+
+
+@partial(jax.jit, static_argnames=("spec", "max_d"))
+def _dilated_enumeration_jit(grid, spec, max_d):
+    return _dilated_enumeration(grid, spec, max_d)
+
+
+def _build_nbr_cache_blocked(grid: PointGrid, spec: GridSpec, max_d: int):
+    """Reference-scale cache build (host-driven macro-blocks): the one-shot
+    program's stacked output plus its relayout copy is 2x the 6.6 GB table
+    (AOT: temp 6.78 + out 6.6 GB at max_d=10.5M — HBM OOM next to the live
+    scene). Here the table is allocated ONCE and each block's rows are
+    dynamic-update-sliced into the DONATED buffer, so peak extra memory is
+    one block's transients (~1.5 GB)."""
+    C = spec.nbr_cache
+    W = _cache_width(spec.cache_dtype)
+    dil_slot, dcoords = _dilated_enumeration_jit(grid, spec, max_d)
+    BLOCK = _CACHE_BLOCK                               # 128 chunks of 16384
+    n_blocks = (max_d + BLOCK - 1) // BLOCK
+    pad = n_blocks * BLOCK - max_d
+    if pad:
+        dcoords = jnp.concatenate(
+            [dcoords, jnp.full((pad, 3), -1, jnp.int32)])
+    out = jnp.zeros((n_blocks * BLOCK, C * W), jnp.int16)
+    for b in range(n_blocks):
+        blk = jax.lax.dynamic_slice_in_dim(dcoords, b * BLOCK, BLOCK)
+        out = _fill_cache_block(out, grid, blk,
+                                jnp.asarray(b * BLOCK, jnp.int32), spec)
+    # the padding rows past max_d stay in the table: slicing them off would
+    # copy the whole multi-GB buffer, and they are unreachable (dil_slot
+    # only holds values < max_d; consumers clip to shape[0])
+    return dil_slot, out

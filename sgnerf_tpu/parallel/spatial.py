@@ -625,3 +625,29 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
     if return_grads:
         return new_st, losses, grads
     return new_st, losses
+
+
+def spatial_train_step_multi(st: SpatialTrainState, sspec: SpatialSpec,
+                             cfg: RenderConfig, tcfg,
+                             batches: Dict[str, Any], keys: jax.Array,
+                             mesh: Mesh):
+    """G training steps on a slab-sharded scene in ONE dispatch
+    (lax.scan over stacked (G,...) batches — the --steps_per_dispatch
+    equivalent of models/train.train_step_multi; per-dispatch host enqueue
+    amortizes G-fold, which matters most here because the sharded step
+    already pays extra per-dispatch overhead for the shard_map program).
+    Numerically matches G sequential spatial_train_step calls with the same
+    keys (the scanned program fuses differently, reordering reductions:
+    measured drift ~2e-5 on 0.01% of attribute elements)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("sspec", "cfg", "tcfg"),
+                       donate_argnums=(0,))
+    def go(st, sspec, cfg, tcfg, batches, keys):
+        def body(s, xs):
+            b, k = xs
+            s2, losses = spatial_train_step(s, sspec, cfg, tcfg, b, k, mesh)
+            return s2, losses
+        return jax.lax.scan(body, st, (batches, keys))
+
+    return go(st, sspec, cfg, tcfg, batches, keys)

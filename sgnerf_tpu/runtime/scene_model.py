@@ -421,8 +421,8 @@ class SceneModel:
         """G steps in one dispatch (train_step_multi): batches is a list of
         per-step batch dicts (stacked here), keys (G,). Returns the list of
         per-step loss dicts (device scalars, lazy)."""
-        assert self.sharded_scene is None, (
-            "steps_per_dispatch>1 not wired for --scene_shards")
+        if self.sharded_scene is not None:
+            return self._optimize_spatial_multi(batches, keys)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         if self.ray_mesh is not None:
             # per-ray leaves are (G,B,R,...): shard R (axis 2), replicate rest
@@ -438,6 +438,26 @@ class SceneModel:
         self.state, losses = train_step_multi(
             self.state, self.grid, self.cfg, self.tcfg, stacked, keys,
             pspec=self.pspec)
+        G = len(batches)
+        return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
+
+    def _optimize_spatial_multi(self, batches, keys):
+        """G sharded-scene steps in one dispatch (spatial_train_step_multi:
+        lax.scan over the shard_map step — removes the old
+        steps_per_dispatch/scene_shards incompatibility)."""
+        from ..parallel.spatial import (create_spatial_train_state,
+                                        spatial_train_step_multi)
+        if self._spatial_tstate is None:
+            st = create_spatial_train_state(
+                self.state.params, self.sharded_scene, self.tcfg)
+            self._spatial_tstate = dataclasses.replace(
+                st, step=self.state.step)
+        missing = [b for b in batches if b.get("bg_color") is None]
+        assert not missing or len(missing) == len(batches)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        self._spatial_tstate, losses = spatial_train_step_multi(
+            self._spatial_tstate, self.sspec, self.cfg, self.tcfg, stacked,
+            keys, self.mesh)
         G = len(batches)
         return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
 

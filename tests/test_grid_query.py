@@ -519,3 +519,25 @@ def test_world_vs_perspective_render_parity():
     assert mw[0, :-1].all() and not mw[0, -1]
     np.testing.assert_allclose(np.asarray(ow["coarse_raycolor"]),
                                np.asarray(op["coarse_raycolor"]), atol=1e-4)
+
+
+def test_blocked_cache_build_matches_oneshot(monkeypatch):
+    """The reference-scale block-wise cache build (donated-output
+    dynamic-update-slice macro-blocks) produces the same dil_slot and
+    packed table as the one-shot program."""
+    from sgnerf_tpu.ops import grid as G
+    xyz = _small_cloud(3000, seed=5)
+    spec = compute_grid_spec(xyz, vsize=[0.06] * 3, vscale=[1, 1, 1],
+                             kernel_size=[3, 3, 3], max_o=8192, P=16,
+                             nbr_cache=16, cache_dtype="bfloat16")
+    grid = G._build_grid_core(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                              spec)
+    n_dil = int(np.asarray(grid.occ_mask).astype(np.int64).sum())
+    max_d = ((n_dil + 1023) // 1024) * 1024
+    ds1, pk1 = G._build_nbr_cache(grid, spec, max_d)
+    monkeypatch.setattr(G, "_CACHE_BLOCK", 2048)
+    monkeypatch.setattr(G, "_BLOCK_CHUNK", 512)
+    ds2, pk2 = G._build_nbr_cache_blocked(grid, spec, max_d)
+    np.testing.assert_array_equal(np.asarray(ds1), np.asarray(ds2))
+    np.testing.assert_array_equal(np.asarray(pk1),
+                                  np.asarray(pk2)[:max_d])

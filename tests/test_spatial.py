@@ -335,3 +335,76 @@ def test_sharded_render_fused_knn(scene):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(out["ray_mask"]),
                                   np.asarray(ref["ray_mask"]))
+
+
+def test_spatial_multi_step_matches_sequential(tmp_path):
+    """spatial_train_step_multi (G steps per dispatch on the slab-sharded
+    scene) matches G sequential spatial_train_step calls given the same
+    keys — the --steps_per_dispatch path for --scene_shards."""
+    import jax
+    from sgnerf_tpu.runtime.scene_model import SceneModel
+    from sgnerf_tpu.options.options import TrainOptions
+
+    def build():
+        rng = np.random.default_rng(0)
+        n = 2000
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+        opt = TrainOptions().parse([
+            "--name", "spm", "--checkpoints_dir", str(tmp_path),
+            "--scene_shards", "8",
+            "--z_depth_dim", "24", "--SR", "4", "--K", "4", "--P", "8",
+            "--max_o", "8192", "--vsize", "0.08", "0.08", "0.08",
+            "--vscale", "2", "2", "2", "--kernel_size", "3", "3", "3",
+            "--radius_limit_scale", "4", "--agg_dist_pers", "20",
+            "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+            "--point_features_dim", "32", "--num_feat_freqs", "3",
+            "--dist_xyz_freq", "5", "--num_viewdir_freqs", "4",
+            "--act_type", "LeakyReLU", "--shading_color_mlp_layer", "4",
+            "--shading_feature_mlp_layer1", "2",
+            "--which_ray_generation", "near_far_linear",
+            "--which_render_func", "radiance", "--which_blend_func", "alpha",
+            "--which_tonemap_func", "off", "--raydist_mode_unit", "1",
+            "--color_loss_items", "ray_masked_coarse_raycolor",
+            "--color_loss_weights", "1.0",
+            "--ranges", "-3", "-3", "-3", "3", "3", "3",
+            "--lr", "0.002", "--plr", "0.01",
+            "--wcoord_query", "1",
+        ])
+        model = SceneModel(opt)
+        model.setup_from_points(xyz, None, None)
+        return model
+
+    rng = np.random.default_rng(1)
+
+    def mk_batch(i):
+        r = np.random.default_rng(10 + i)
+        d = (r.normal(size=(1, 64, 3)) * 0.25).astype(np.float32)
+        d[..., 2] = 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return {"campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+                "raydir": jnp.asarray(d),
+                "camrotc2w": jnp.eye(3, dtype=np.float32)[None],
+                "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+                "bg_color": jnp.ones(3),
+                "gt_image": jnp.asarray(
+                    r.uniform(0, 1, (1, 64, 3)).astype(np.float32))}
+
+    import jax.numpy as jnp2
+    G = 3
+    keys = jax.random.split(jax.random.key(5), G)
+    batches = [mk_batch(i) for i in range(G)]
+
+    m_seq = build()
+    seq = [float(m_seq.optimize(batches[i], keys[i])["total"])
+           for i in range(G)]
+    emb_seq = np.asarray(m_seq._spatial_tstate.scene.cloud.embedding)
+
+    m_mul = build()
+    multi = [float(l["total"]) for l in m_mul.optimize_multi(batches, keys)]
+    emb_mul = np.asarray(m_mul._spatial_tstate.scene.cloud.embedding)
+
+    np.testing.assert_allclose(seq, multi, rtol=1e-6)
+    # the scanned program fuses differently from the per-step dispatches,
+    # reordering reductions: measured drift 126/1M elements, max 2.2e-5
+    np.testing.assert_allclose(emb_seq, emb_mul, rtol=3e-4, atol=5e-5)
