@@ -164,8 +164,11 @@ def main():
 
     print(f"training from step {total_steps} to {maximum_step}")
     t_start = time.time()
+    # the prefetcher now coexists with semantics: the BPNet refresh runs on
+    # its own background thread (runtime/semantic.py) and only reads the
+    # item's paths/intrinsics, which prefetched items carry
     prefetcher = (ItemPrefetcher(dataset, rng, n_threads=opt.n_threads)
-                  if semantic is None and opt.n_threads > 0 else None)
+                  if opt.n_threads > 0 else None)
 
     # group size for multi-step dispatch (train_step_multi): fixed host
     # enqueue cost amortizes G-fold; forced to 1 by per-step host work
