@@ -108,6 +108,13 @@ class RenderConfig:
     #                                  per-sample t. We use camera-space z of
     #                                  each shading point (= Point-NeRF's t
     #                                  for its z-linear sampling).
+    gather_vjp: str = "scatter"      # attribute-gather transpose: "scatter"
+    #                                  = XLA's native scatter-add; "sorted" =
+    #                                  sort cotangent rows by point id +
+    #                                  segment_sum (gather_rows above) — the
+    #                                  round-1 A/B at 1024 rays lost, but the
+    #                                  fused backward since removed most other
+    #                                  step cost, so the scatter fraction grew
     gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
     #                                  makes the quantized attribute table an
     #                                  unbiased estimator of the f32 master
@@ -207,7 +214,9 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # than f32 buffers + bf16 matmuls (59.8k vs 62.8k rays/s): bf16 arrays
     # tile as (16,128) and the relayouts cost more than the halved HBM
     # traffic saves. Compute stays f32 outside the matmuls.
-    g = jax.lax.optimization_barrier(packed[pid]).astype(jnp.float32)
+    take = gather_rows if cfg.gather_vjp == "sorted" else (
+        lambda t, i: t[i])
+    g = jax.lax.optimization_barrier(take(packed, pid)).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]

@@ -154,6 +154,11 @@ _F = [
     # only; recovers the ~0.5 dB nearest rounding costs when training
     # through a bf16 gather — ops/quant.py)
     ("gather_round", str, "nearest", None),
+    # attribute-gather transpose in training: "scatter" = XLA's native
+    # scatter-add; "sorted" = sort cotangent rows by point id + segment_sum
+    # (kills duplicate-index collisions; A/B via dev_scripts/
+    # probe_train_scatter.py)
+    ("gather_vjp", str, "scatter", None),
     ("compute_dtype", str, "float32", None),
     # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
     # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
@@ -318,6 +323,10 @@ def configs_from_opt(opt):
     if gr not in ("nearest", "stochastic"):
         raise ValueError(
             f"--gather_round must be nearest or stochastic, got {gr!r}")
+    gv = getattr(opt, "gather_vjp", "scatter")
+    if gv not in ("scatter", "sorted"):
+        raise ValueError(
+            f"--gather_vjp must be scatter or sorted, got {gv!r}")
     fused = getattr(opt, "fused_mlp", "auto")
     if fused not in ("auto", "pallas", "none"):
         raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")
@@ -394,6 +403,7 @@ def configs_from_opt(opt):
         predict_semantic=opt.predict_semantic,
         gather_dtype=opt.gather_dtype,
         gather_round=getattr(opt, "gather_round", "nearest"),
+        gather_vjp=gv,
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,
         knn_mode=knn,

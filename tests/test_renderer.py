@@ -125,6 +125,31 @@ def test_gather_rows_custom_vjp_matches_plain():
                                np.asarray(table[idx]), atol=0)
 
 
+def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
+    """cfg.gather_vjp='sorted' must produce the same render AND the same
+    cloud gradients as the default scatter-add transpose."""
+    import dataclasses
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam(R=16)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    target = jnp.zeros((1, 16, 3))
+
+    def loss_fn(c, variant):
+        cfg2 = dataclasses.replace(cfg, gather_vjp=variant)
+        out = render_rays(params, c, grid, cfg2, campos=campos,
+                          raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                          bg_color=bg)
+        return jnp.mean((out["coarse_raycolor"] - target) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "scatter")
+    v2, g2 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "sorted")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1.embedding),
+                               np.asarray(g2.embedding), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1.conf), np.asarray(g2.conf),
+                               atol=1e-6)
+
+
 def test_render_with_part_rotation_table(scene):
     """Edited-scene path: Rw2c as a (T,3,3) part table + per-point rot_idx.
     With both rows identity the output must equal the plain render (tests
