@@ -21,6 +21,44 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 25_000.0
 
 
+def _room_scan(rng, n_points):
+    """ScanNet-like synthetic scan: points on the surfaces of a 5x5x3 m room
+    shell plus rotated furniture boxes, with 5 mm sensor noise (real scans
+    put 2-3 voxel-layers of points on every surface at the canonical 16 mm
+    scaled voxel). Returns (n_points, 3) float32."""
+    def box_surface(rn, n, center, size, yaw=0.0):
+        # sample the 6 faces with area weights
+        sx, sy, sz = size
+        areas = np.array([sy * sz, sy * sz, sx * sz, sx * sz, sx * sy,
+                          sx * sy])
+        face = rn.choice(6, size=n, p=areas / areas.sum())
+        u = rn.uniform(-0.5, 0.5, size=(n, 3))
+        p = u * np.asarray(size)
+        axis = face // 2
+        sign = np.where(face % 2 == 0, 0.5, -0.5)
+        p[np.arange(n), axis] = sign * np.asarray(size)[axis]
+        if yaw:
+            c, s = np.cos(yaw), np.sin(yaw)
+            p = p @ np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]]).T
+        return p + np.asarray(center)
+
+    n_room = n_points // 2
+    pts = [box_surface(rng, n_room, (0.0, 0.0, 0.0), (5.0, 5.0, 3.0))]
+    # 12 furniture boxes on the floor, random footprint + yaw
+    n_f = n_points - n_room
+    per = np.full(12, n_f // 12)
+    per[:n_f - per.sum()] += 1
+    for i in range(12):
+        size = rng.uniform([0.3, 0.3, 0.3], [1.6, 1.6, 1.2])
+        center = np.array([rng.uniform(-2.0, 2.0), rng.uniform(-2.0, 2.0),
+                           -1.5 + size[2] / 2])
+        pts.append(box_surface(rng, per[i], center, size,
+                               yaw=rng.uniform(0, np.pi)))
+    xyz = np.concatenate(pts).astype(np.float32)
+    xyz += rng.normal(scale=0.005, size=xyz.shape).astype(np.float32)
+    return xyz
+
+
 def main():
     import jax
     from sgnerf_tpu.runtime.jax_setup import setup as _jax_setup
@@ -37,14 +75,12 @@ def main():
     # reference-scale headline: the canonical ScanNet clouds are ~4.2M points
     # (SURVEY.md / VERDICT round 1); SGNERF_BENCH_POINTS overrides for probes
     n_points = int(os.environ.get("SGNERF_BENCH_POINTS", 4_200_000))
-    # synthetic "room": points on walls/floor of a box plus interior clutter
-    walls = rng.uniform(-2, 2, size=(n_points // 2, 3)).astype(np.float32)
-    ax = rng.integers(0, 3, size=n_points // 2)
-    sign = rng.integers(0, 2, size=n_points // 2) * 2 - 1
-    walls[np.arange(n_points // 2), ax] = 2.0 * sign
-    clutter = rng.normal(scale=0.7, size=(n_points - n_points // 2, 3)
-                         ).astype(np.float32)
-    xyz = np.concatenate([walls, clutter])
+    # synthetic room SCAN: a ScanNet cloud is points on SURFACES (walls +
+    # furniture) with mm-scale sensor noise — NOT a volume fill. The old
+    # gaussian-clutter scene occupied 2M voxels whose 3^3 dilation spanned
+    # ~20M+ cache rows (>10 GB — no real scan looks like that); surfaces
+    # give the occupancy/dilation structure the reference workload has.
+    xyz = _room_scan(rng, n_points)
     emb = (rng.normal(size=(n_points, 32)) * 0.1).astype(np.float32)
     cloud = make_point_cloud(xyz, emb, color=np.clip(xyz * 0.2 + 0.5, 0, 1),
                              dir=xyz / np.linalg.norm(xyz, axis=-1,

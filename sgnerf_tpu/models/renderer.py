@@ -54,7 +54,10 @@ def _gather_rows_fwd(table, idx):
 def _gather_rows_bwd(res, g):
     idx, n = res
     flat_idx = idx.reshape(-1)
-    flat_g = g.reshape(-1, g.shape[-1])
+    # accumulate in f32: a bf16 table means bf16 cotangents, and duplicate
+    # neighbor ids sum ~100s of contributions — XLA's native transpose
+    # scatter-adds them in bf16, this path gets f32 accumulation for free
+    flat_g = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
     order = jnp.argsort(flat_idx)
     dt = jax.ops.segment_sum(flat_g[order], flat_idx[order], num_segments=n,
                              indices_are_sorted=True)

@@ -349,11 +349,28 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             bucket = 262144
             max_d = min(((n_dil + bucket - 1) // bucket) * bucket, nvox)
             max_d = max(max_d, min(bucket, nvox))
-        if max_d > 6_291_456 and not isinstance(grid.occ_mask,
-                                                jax.core.Tracer):
-            # reference scale: block-wise build into a donated table (the
-            # one-shot program needs 2x the table in HBM — see
-            # _build_nbr_cache_blocked)
+        gb = max_d * spec.nbr_cache * _cache_width(spec.cache_dtype) * 2 \
+            / 2 ** 30
+        if gb > 8 and not isinstance(grid.occ_mask, jax.core.Tracer):
+            # fail loudly BEFORE the backend's bare ResourceExhausted: a
+            # dilated set this large means the cloud fills volume rather
+            # than surfaces at this voxel size (a real scan shouldn't)
+            print(f"[grid] WARNING: neighborhood cache needs {gb:.1f} GB "
+                  f"({max_d/1e6:.1f}M dilated voxels x C={spec.nbr_cache}) "
+                  f"— likely past device HBM. Coarsen --vsize, lower "
+                  f"--nbr_cache, or shard the scene (--scene_shards).",
+                  flush=True)
+        table_gb = max_d * spec.nbr_cache * _cache_width(
+            spec.cache_dtype) * 2 / 2 ** 30
+        if table_gb > 0.75 and not isinstance(grid.occ_mask,
+                                              jax.core.Tracer):
+            # big tables: block-wise build into a donated table. The
+            # one-shot program keeps the stacked output PLUS a relayout
+            # copy (2x the table) and its lax.map transients scale with P
+            # — at auto-P reference scale that peaked past the chip's free
+            # HBM (measured OOM at max_d=2.9M, P=64 with ~2 GB one-shot
+            # headroom models predicting it fits: the axon chip does not
+            # expose its true free pool, so stay conservative)
             dil_slot, nbr_packed = _build_nbr_cache_blocked(grid, spec,
                                                             max_d)
         else:
@@ -576,7 +593,7 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
     exact 27-voxel search in tests). One-time cost per grid rebuild; chunked
     to bound the (chunk, 27, P, 3) transient."""
     dil_slot, dcoords = _dilated_enumeration(grid, spec, max_d)
-    chunk = max(1, min(65536, max_d))
+    chunk = max(1, min(_chunk_for(spec, 65536), max_d))
     n_chunks = (max_d + chunk - 1) // chunk
     pad = n_chunks * chunk - max_d
     sc_pad = jnp.concatenate(
@@ -585,7 +602,17 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
 
 
 _CACHE_BLOCK = 2_097_152     # rows per macro-block (tests shrink this)
-_BLOCK_CHUNK = 16384         # lax.map chunk inside a block
+_BLOCK_CHUNK = 16384         # lax.map chunk inside a block (at P=26)
+
+
+def _chunk_for(spec: GridSpec, base: int = _BLOCK_CHUNK) -> int:
+    """lax.map chunk size bounding the (chunk, 27, P, 4) build transients:
+    the auto-P path can hand us P=64+ (2.5x the transients the base chunk
+    was sized for). Keeps chunk*P roughly constant, floor 4096."""
+    c = base
+    while c > 4096 and c * spec.P > base * 28:
+        c //= 2
+    return c
 
 
 @partial(jax.jit, static_argnames=("spec",), donate_argnums=(0,))
@@ -594,7 +621,7 @@ def _fill_cache_block(out, grid: PointGrid, dcoords_block, offset,
     """Write one macro-block of packed cache rows into the DONATED output
     table at a traced row offset (one compile for all blocks)."""
     rows = _cache_rows(grid, spec, dcoords_block,
-                       min(_BLOCK_CHUNK, dcoords_block.shape[0]))
+                       min(_chunk_for(spec), dcoords_block.shape[0]))
     return jax.lax.dynamic_update_slice(out, rows, (offset, 0))
 
 
