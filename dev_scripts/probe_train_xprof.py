@@ -1,6 +1,7 @@
 """Profile ONE train step (1024 rays, fused fwd/bwd) and print the top
 device ops by total duration — where do the ~41 ms/step go? (NEXT.md: the
 suspected residual is the attribute-gather transpose scatter-add.)"""
+import faulthandler
 import glob
 import gzip
 import json
@@ -13,6 +14,9 @@ sys.path.insert(0, "/root/repo")
 from sgnerf_tpu.runtime.jax_setup import setup
 
 setup()
+import signal
+faulthandler.enable()
+faulthandler.register(signal.SIGUSR1)
 import jax
 import jax.numpy as jnp
 from sgnerf_tpu.models.aggregator import (AggregatorConfig,
@@ -39,6 +43,7 @@ spec = grid_spec_for_cloud(
     cloud, vsize=[0.008] * 3, vscale=[2, 2, 2], kernel_size=[3, 3, 3],
     max_o=610000, P=26, ranges=[-10.0] * 3 + [10.0] * 3,
     cache_dtype="bfloat16")
+print("spec ready; building grid", flush=True)
 grid = build_grid(cloud, spec)
 jax.block_until_ready(grid.bucket_pnts)
 print("grid built", flush=True)
