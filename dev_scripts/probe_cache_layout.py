@@ -43,6 +43,8 @@ print("one-shot path nbr_packed", g.nbr_packed.shape,
 # blocked path at the same scale (the >6.3M-row regime normally uses it)
 core = grid_mod._build_grid_core(cloud.xyz, cloud.active, spec)
 max_d = g.nbr_packed.shape[0]
+one_shot = g.nbr_packed
+g = None
 t0 = time.perf_counter()
 dil_slot, packed = grid_mod._build_nbr_cache_blocked(core, spec, max_d)
 jax.block_until_ready(packed)
@@ -50,26 +52,14 @@ print(f"blocked path nbr_packed {packed.shape} layout "
       f"{packed.format.layout.major_to_minor} "
       f"({time.perf_counter()-t0:.1f}s)", flush=True)
 
-# jitted-identity relayout to row-major: does it stick + get accepted?
-from jax.experimental.layout import Format, Layout
-from jax.sharding import SingleDeviceSharding
-
-dev = list(g.nbr_packed.devices())[0]
-fmt = Format(Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev))
-t0 = time.perf_counter()
-pinned = jax.jit(lambda a: a, out_shardings=fmt)(g.nbr_packed)
-jax.block_until_ready(pinned)
-print(f"pinned layout {pinned.format.layout.major_to_minor} "
-      f"({time.perf_counter()-t0:.1f}s incl compile)", flush=True)
-
-# feed the pinned table into a jitted row gather at production row count
+# feed both tables into a jitted row gather at production row count
 idx = jnp.asarray(rng.integers(0, max_d, size=221_000, dtype=np.int64),
                   jnp.int32)
 @jax.jit
 def rows(tab, ix):
     return jnp.sum(tab[ix].astype(jnp.float32))
 
-for name, tab in [("asbuilt", g.nbr_packed), ("pinned", pinned)]:
+for name, tab in [("oneshot", one_shot), ("blocked", packed)]:
     try:
         v = float(rows(tab, idx))
         t0 = time.perf_counter()

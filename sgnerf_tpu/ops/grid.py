@@ -27,6 +27,7 @@ Data structures match the reference semantically:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from functools import partial
 from typing import Optional, Tuple
@@ -374,48 +375,65 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
             dil_slot, nbr_packed = _build_nbr_cache_blocked(grid, spec,
                                                             max_d)
         else:
-            dil_slot, nbr_packed = _build_nbr_cache_jit(grid, spec, max_d)
-        nbr_packed = _force_row_major(nbr_packed)
+            dil_slot, nbr_packed = _build_nbr_cache_oneshot(grid, spec,
+                                                            max_d)
         grid = dataclasses.replace(grid, dil_slot=dil_slot,
                                    nbr_packed=nbr_packed)
     return grid
 
 
-def _force_row_major(x: jnp.ndarray) -> jnp.ndarray:
-    """Pin a 2-D device array to row-major physical layout.
+def _row_major_fmt(like: jnp.ndarray, ndim: int):
+    """Format pinning the backend-default (row-major) layout on `like`'s
+    device. Raises where layouts are unsupported — callers fall back.
 
-    pack_cache's planar moveaxis lets the BUILD program store nbr_packed
-    column-major (the transpose is then a free bitcast at build time), but
-    every RENDER step then relayouts the full multi-GB table before the
-    row gather — xprof showed an 11.5 ms s16[5.2M,320] copy per dispatch.
-    One explicit relayout at build amortizes it away. (Row-major is JAX's
-    major_to_minor=(0, 1); tiling is left to the backend default.)"""
-    if isinstance(x, jax.core.Tracer) or x.ndim != 2 or x.size == 0:
-        return x
-    if os.environ.get("SGNERF_CACHE_RELAYOUT", "0") != "1":
-        # Default OFF: feeding the explicitly-relayouted 3.36 GB array into
-        # the big render program makes the axon backend fail with
-        # INVALID_ARGUMENT at dispatch (the same relayout + a jit row
-        # gather works standalone — backend bug at production scale). The
-        # in-program relayout copy this would remove costs only ~1.4 ms/
-        # chunk under G=8 dispatch batching. Re-try via
-        # SGNERF_CACHE_RELAYOUT=1 on a future toolchain.
-        return x
-    try:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-        dev = list(x.devices())[0]
-        fmt = Format(Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev))
-        if tuple(x.format.layout.major_to_minor) == (0, 1):
-            return x
-        # retire the build program first: the relayout's 3.3 GB output is
-        # allocated at enqueue, and overlapping it with the build's
-        # transients OOMs the chip (measured; build is once-per-rebuild so
-        # the sync is free)
-        jax.block_until_ready(x)
-        return jax.device_put(x, fmt)
-    except Exception:
-        return x    # CPU test backend or layout API unavailable: harmless
+    Why this exists: BOTH cache-build paths otherwise emit nbr_packed
+    COLUMN-major (pack_cache's planar moveaxis makes that the build
+    program's cheapest output layout; measured via .format on the real
+    arrays, probe_cache_layout.py), and every CONSUMER program then
+    relayouts the full multi-GB table to row-major before its row gather
+    — a 13.8 ms s16[4.88M,320] copy in EVERY train dispatch (xprof +
+    AOT HLO, probe_aot_copies.py: the parameter's only user is the
+    copy). Forcing the BUILD jits' output layout via out_shardings moves
+    that one transpose into the build program (one-time, zero extra peak
+    memory) instead of every dispatch.
+
+    Status: OPT-IN (SGNERF_CACHE_RM=1), measured DEAD END on the current
+    axon toolchain. Every route to an explicitly-formatted multi-GB table
+    fails or loses (PERFORMANCE.md negative results): after-the-fact
+    jax.device_put trips INVALID_ARGUMENT; a jitted-identity copy
+    transiently doubles the table (OOMs at 4.2M points); out_shardings on
+    the build jit ALSO dies with an async INVALID_ARGUMENT at 1M+ scale
+    (probe_rm_gather.py, 2026-08-20) — and the async failure escapes the
+    try/except below, so it cannot even be defaulted on safely. The copy
+    it would remove amortizes to ~0.9 ms/step under G=16 dispatch
+    batching (~2%). Re-try on a future toolchain."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    dev = list(like.devices())[0]
+    return Format(Layout(major_to_minor=tuple(range(ndim))),
+                  SingleDeviceSharding(dev))
+
+
+@functools.lru_cache(maxsize=None)
+def _nbr_cache_oneshot_rm(fmt3, fmt2):
+    return jax.jit(_build_nbr_cache, static_argnames=("spec", "max_d"),
+                   out_shardings=(fmt3, fmt2))
+
+
+def _build_nbr_cache_oneshot(grid: PointGrid, spec: GridSpec, max_d: int):
+    """One-shot cache build with the packed table forced row-major (see
+    _row_major_fmt). The program already materializes a full-table copy
+    internally (stacked output + relayout), so the constraint only
+    changes that copy's target layout. Opt-in and currently broken on
+    axon — see _row_major_fmt's status note."""
+    if os.environ.get("SGNERF_CACHE_RM", "0") == "1":
+        try:
+            fmt3 = _row_major_fmt(grid.occ_mask, 3)
+            fmt2 = _row_major_fmt(grid.occ_mask, 2)
+            return _nbr_cache_oneshot_rm(fmt3, fmt2)(grid, spec, max_d)
+        except Exception:
+            pass    # CPU backend / layout API unavailable: plain path
+    return _build_nbr_cache_jit(grid, spec, max_d)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -615,14 +633,31 @@ def _chunk_for(spec: GridSpec, base: int = _BLOCK_CHUNK) -> int:
     return c
 
 
-@partial(jax.jit, static_argnames=("spec",), donate_argnums=(0,))
-def _fill_cache_block(out, grid: PointGrid, dcoords_block, offset,
-                      spec: GridSpec):
+def _fill_cache_block_impl(out, grid: PointGrid, dcoords_block, offset,
+                           spec: GridSpec):
     """Write one macro-block of packed cache rows into the DONATED output
     table at a traced row offset (one compile for all blocks)."""
     rows = _cache_rows(grid, spec, dcoords_block,
                        min(_chunk_for(spec), dcoords_block.shape[0]))
     return jax.lax.dynamic_update_slice(out, rows, (offset, 0))
+
+
+_fill_cache_block = jax.jit(_fill_cache_block_impl,
+                            static_argnames=("spec",), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _fill_cache_block_rm(fmt):
+    """Block-fill jit with the table output pinned row-major (see
+    _row_major_fmt): the donated input/output then alias in the layout
+    every consumer gather wants, so nothing ever relayouts the table."""
+    return jax.jit(_fill_cache_block_impl, static_argnames=("spec",),
+                   donate_argnums=(0,), out_shardings=fmt)
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros_rm(shape, fmt):
+    return jax.jit(lambda: jnp.zeros(shape, jnp.int16), out_shardings=fmt)
 
 
 @partial(jax.jit, static_argnames=("spec", "max_d"))
@@ -646,11 +681,20 @@ def _build_nbr_cache_blocked(grid: PointGrid, spec: GridSpec, max_d: int):
     if pad:
         dcoords = jnp.concatenate(
             [dcoords, jnp.full((pad, 3), -1, jnp.int32)])
-    out = jnp.zeros((n_blocks * BLOCK, C * W), jnp.int16)
+    fill, out = _fill_cache_block, None
+    if os.environ.get("SGNERF_CACHE_RM", "0") == "1":
+        try:
+            fmt = _row_major_fmt(grid.occ_mask, 2)
+            out = _zeros_rm((n_blocks * BLOCK, C * W), fmt)()
+            fill = _fill_cache_block_rm(fmt)
+        except Exception:
+            out = None    # CPU backend / layout API unavailable
+    if out is None:
+        out = jnp.zeros((n_blocks * BLOCK, C * W), jnp.int16)
     for b in range(n_blocks):
         blk = jax.lax.dynamic_slice_in_dim(dcoords, b * BLOCK, BLOCK)
-        out = _fill_cache_block(out, grid, blk,
-                                jnp.asarray(b * BLOCK, jnp.int32), spec)
+        out = fill(out, grid, blk,
+                   jnp.asarray(b * BLOCK, jnp.int32), spec)
     # the padding rows past max_d stay in the table: slicing them off would
     # copy the whole multi-GB buffer, and they are unreachable (dil_slot
     # only holds values < max_d; consumers clip to shape[0])
