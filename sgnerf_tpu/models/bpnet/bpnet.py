@@ -48,15 +48,85 @@ class BPNetConfig:
     #                                  inference-mode per the reference's
     #                                  fix_bn, so stats stay valid); logits
     #                                  and the 96-d point feature return f32
-    aug: int = 0                     # train-time 2D augmentation (reference
+    aug: int = 0                     # train-time augmentation (reference
     #                                  bpneter/bpnet.py:195-201 aug branch:
     #                                  p=0.5 gaussian blur + mean-padded
-    #                                  rand crop jitter); the reference's
-    #                                  effective SG-NeRF config runs with
-    #                                  aug=False, so 0 is the parity default
+    #                                  rand crop jitter on the 2D views, and
+    #                                  :515 ElasticDistortion on the cloud
+    #                                  before voxelize). NOTE the reference's
+    #                                  own aug=True path crashes (its model
+    #                                  never assigns prevoxel_transforms —
+    #                                  only the standalone pretrain datasets
+    #                                  scanNet3D.py:101 do); ours implements
+    #                                  what that path intends. The effective
+    #                                  SG-NeRF config runs aug=False, so 0
+    #                                  is the parity default
 
 
 # ------------------------------------------------------------------- host ops
+
+def elastic_distortion(coords: np.ndarray, granularity: float,
+                       magnitude: float,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Elastic distortion on point coordinates (host-side numpy).
+
+    Mirrors reference bpnet_dataset/augmentation.py:159-201 ElasticDistortion:
+    a Gaussian noise grid at `granularity` spacing, box-blurred twice along
+    each axis (3-tap, zero-padded), trilinearly interpolated at each point and
+    added scaled by `magnitude`. Self-contained numpy (no scipy/torch)."""
+    coords = np.asarray(coords, np.float32)
+    cmin = coords.min(0)
+    noise_dim = ((coords - cmin).max(0) // granularity).astype(int) + 3
+    noise = rng.standard_normal(size=(*noise_dim, 3)).astype(np.float32)
+
+    def blur_axis(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 1)
+        xp = np.pad(x, pad)              # zeros outside, like mode='constant'
+        sl = [slice(None)] * x.ndim
+        out = np.zeros_like(x)
+        for k in range(3):
+            sl[axis] = slice(k, k + x.shape[axis])
+            out += xp[tuple(sl)]
+        return out / 3.0
+
+    for _ in range(2):
+        for axis in range(3):
+            noise = blur_axis(noise, axis)
+
+    # trilinear interpolation over the reference's grid axes
+    # ax[d] = linspace(cmin-g, cmin + g*(dim-2), dim) -> uniform step g
+    u = (coords - (cmin - granularity)) / granularity   # grid-space coords
+    u = np.clip(u, 0.0, noise_dim.astype(np.float32) - 1.0 - 1e-6)
+    i0 = np.floor(u).astype(np.int64)
+    f = (u - i0).astype(np.float32)
+    disp = np.zeros_like(coords)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, f[:, 0], 1 - f[:, 0])
+                     * np.where(dy, f[:, 1], 1 - f[:, 1])
+                     * np.where(dz, f[:, 2], 1 - f[:, 2]))
+                disp += w[:, None] * noise[i0[:, 0] + dx, i0[:, 1] + dy,
+                                           i0[:, 2] + dz]
+    return coords + disp * magnitude
+
+
+# Reference ELASTIC_DISTORT_PARAMS (bpneter/bpnet.py:157) and the p=0.95
+# application gate (augmentation.py:196-201).
+ELASTIC_DISTORT_PARAMS = ((0.2, 0.4), (0.8, 1.6))
+
+
+def prevoxel_distort(coords: np.ndarray,
+                     rng: np.random.Generator) -> np.ndarray:
+    """The reference prevoxel_transforms chain: with p=0.95, ElasticDistortion
+    at both (granularity, magnitude) scales in sequence
+    (augmentation.py:196-201 — one gate around the loop)."""
+    if rng.random() < 0.95:
+        for granularity, magnitude in ELASTIC_DISTORT_PARAMS:
+            coords = elastic_distortion(coords, granularity, magnitude, rng)
+    return coords
+
 
 def compute_linking(intrinsic4: np.ndarray, c2w: np.ndarray,
                     coords_world: np.ndarray, depth: np.ndarray,
@@ -325,8 +395,14 @@ class BPNet:
         links = np.stack(links, axis=-1)            # (N,4,V)
         links[:, 0, :] = 0
 
+        # prevoxel ElasticDistortion (reference bpneter/bpnet.py:515 — links
+        # are built from the ORIGINAL coords above, then the distorted cloud
+        # is voxelized; get_2d runs before prevoxel_transforms there too)
+        locs_vox = (prevoxel_distort(locs_in, rng) if self.cfg.aug
+                    else locs_in)
+
         vcoords, vfeats, inds_rec, vlinks = voxelize(
-            locs_in, feats_in, self.cfg.voxel_size, links)
+            locs_vox, feats_in, self.cfg.voxel_size, links)
         vfeats = vfeats / 127.5 - 1.0
         dims = tuple(int(d) for d in vcoords.max(0) + 1)
         M = len(vcoords)

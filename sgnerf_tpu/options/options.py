@@ -212,7 +212,7 @@ _F = [
     # BPNet flags
     ("predict_semantic", int, 0, None), ("layers_2d", int, 34, None),
     ("bpnet_refresh_every", int, 1, None),
-    ("bpnet_aug", int, 0, None),  # train-time 2D blur augmentation
+    ("bpnet_aug", int, 0, None),  # train-time aug: 2D blur + 3D elastic
     #                               (reference aug branch; default off like
     #                               the reference's effective config)
     ("classes", int, 20, None), ("arch_3d", str, "MinkUNet18A", None),

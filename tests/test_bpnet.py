@@ -187,3 +187,35 @@ def test_bpnet_2d_aug_blur(tmp_path):
         else:
             same_seen = True
     assert blur_seen and same_seen   # p=0.5: both branches occur
+
+
+def test_elastic_distortion_prevoxel():
+    """--bpnet_aug 3D branch: ElasticDistortion before voxelize (reference
+    bpneter/bpnet.py:515 intent; augmentation.py:159-201 math). Displacement
+    must be smooth (neighbors move together), bounded, and the aug=0 path
+    must stay bit-identical."""
+    import numpy as np
+    from sgnerf_tpu.models.bpnet.bpnet import (elastic_distortion,
+                                               prevoxel_distort)
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 2.0, size=(400, 3)).astype(np.float32)
+
+    out = elastic_distortion(pts, 0.2, 0.4, np.random.default_rng(7))
+    assert out.shape == pts.shape and out.dtype == np.float32
+    disp = out - pts
+    assert np.abs(disp).max() > 1e-4          # actually moved
+    # blurred-noise magnitude: |disp| stays O(magnitude)
+    assert np.abs(disp).max() < 5 * 0.4
+    # smoothness: two points in the same granularity cell move ~together
+    a = np.array([[1.0, 1.0, 1.0]], np.float32)
+    b = a + 0.01
+    pair = np.concatenate([pts, a, b])        # same noise grid for both
+    moved = elastic_distortion(pair, 0.8, 1.6, np.random.default_rng(11))
+    da, db = moved[-2] - pair[-2], moved[-1] - pair[-1]
+    assert np.linalg.norm(da - db) < 0.25 * max(np.linalg.norm(da), 1e-3)
+
+    # determinism per seed; chain applies both scales under one p=0.95 gate
+    c1 = prevoxel_distort(pts, np.random.default_rng(5))
+    c2 = prevoxel_distort(pts, np.random.default_rng(5))
+    np.testing.assert_array_equal(c1, c2)
