@@ -235,6 +235,12 @@ def pack_cache(xyz: jnp.ndarray, pidx: jnp.ndarray,
     KNN kernel (ops/fused_knn.py) read each field as ONE contiguous lane
     slice — per-candidate interleaving would need stride-W int16 slicing,
     a relayout on TPU."""
+    # NOTE a slice+concat formulation (no moveaxis) was tried to bias XLA
+    # layout assignment toward a row-major table output: the table stays
+    # column-major either way (probe_pack_layout.py, 2026-08-20), and the
+    # per-plane slices let the bf16 cast fuse differently between the
+    # oneshot and blocked build paths (54/2.9M one-LSB diffs on CPU) —
+    # the transpose is NOT what drives the layout choice. Keep moveaxis.
     lead = xyz.shape[:-2]
     if cache_dtype == "bfloat16":
         xi = jax.lax.bitcast_convert_type(
