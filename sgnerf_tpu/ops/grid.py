@@ -369,8 +369,8 @@ def build_point_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray,
                   flush=True)
         table_gb = max_d * spec.nbr_cache * _cache_width(
             spec.cache_dtype) * 2 / 2 ** 30
-        if table_gb > 0.75 and not isinstance(grid.occ_mask,
-                                              jax.core.Tracer):
+        if table_gb > _BLOCKED_TABLE_GB and not isinstance(grid.occ_mask,
+                                                           jax.core.Tracer):
             # big tables: block-wise build into a donated table. The
             # one-shot program keeps the stacked output PLUS a relayout
             # copy (2x the table) and its lax.map transients scale with P
@@ -625,8 +625,14 @@ def _build_nbr_cache(grid: PointGrid, spec: GridSpec, max_d: int):
     return dil_slot, _cache_rows(grid, spec, sc_pad, chunk)[:max_d]
 
 
-_CACHE_BLOCK = 2_097_152     # rows per macro-block (tests shrink this)
+_CACHE_BLOCK = 2_097_152     # rows per macro-block (tests shrink this).
+# MUST stay a power of two: probe_pack_layout.py measured a bare row-gather
+# from a one-shot-built (non-pow2-row) table at 557-585 ms/call vs 33-34 ms
+# from the blocked (pow2-padded) table at the same 149k rows — a 17x layout
+# pathology. tests/test_grid_query.py::test_blocked_build_pow2_padding pins
+# this property so a refactor can't silently reintroduce the one-shot shape.
 _BLOCK_CHUNK = 16384         # lax.map chunk inside a block (at P=26)
+_BLOCKED_TABLE_GB = 0.75     # tables above this route to the blocked build
 
 
 def _chunk_for(spec: GridSpec, base: int = _BLOCK_CHUNK) -> int:

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def blender_dir(tmp_path_factory):

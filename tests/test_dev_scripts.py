@@ -10,6 +10,8 @@ import pytest
 
 from sgnerf_tpu.options.options import TrainOptions
 
+pytestmark = pytest.mark.fast
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = sorted(glob.glob(os.path.join(REPO, "dev_scripts", "**", "*.sh"),
                            recursive=True))

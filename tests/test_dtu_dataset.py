@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.fast
+
 
 def _write_pfm(path, img):
     with open(path, "wb") as f:

@@ -7,6 +7,8 @@ from sgnerf_tpu.editor import (
     transform_point_cloud_global, transform_point_cloud_local)
 from sgnerf_tpu.editor.editor import match_selection
 
+pytestmark = pytest.mark.fast
+
 
 def _cloud(n=100, seed=0):
     rng = np.random.default_rng(seed)

@@ -541,3 +541,42 @@ def test_blocked_cache_build_matches_oneshot(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ds1), np.asarray(ds2))
     np.testing.assert_array_equal(np.asarray(pk1),
                                   np.asarray(pk2)[:max_d])
+
+
+def test_blocked_build_pow2_padding(monkeypatch):
+    """Regression guard for the 17x gather-layout pathology
+    (PERFORMANCE.md, probe_pack_layout.py): a bare row-gather from the
+    ONESHOT-built table measured 557-585 ms/call at 149k rows where the
+    BLOCKED (pow2-row-padded) table measured 33-34 ms — same reported
+    layout, so the only controllable property is the blocked build's row
+    padding. Pins: (a) _CACHE_BLOCK is a power of two, (b) the blocked
+    table's row count is a _CACHE_BLOCK multiple (never exactly max_d),
+    (c) big tables route to the blocked build, small ones to one-shot."""
+    from sgnerf_tpu.ops import grid as G
+    assert G._CACHE_BLOCK & (G._CACHE_BLOCK - 1) == 0 and G._CACHE_BLOCK > 0
+
+    xyz = _small_cloud(2000, seed=7)
+    spec = compute_grid_spec(xyz, vsize=[0.06] * 3, vscale=[1, 1, 1],
+                             kernel_size=[3, 3, 3], max_o=8192, P=16,
+                             nbr_cache=16, cache_dtype="bfloat16")
+    grid = G._build_grid_core(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                              spec)
+    n_dil = int(np.asarray(grid.occ_mask).astype(np.int64).sum())
+    max_d = ((n_dil + 1023) // 1024) * 1024
+    monkeypatch.setattr(G, "_CACHE_BLOCK", 4096)
+    monkeypatch.setattr(G, "_BLOCK_CHUNK", 512)
+    assert max_d % G._CACHE_BLOCK != 0, "scene too round to test padding"
+    _, pk = G._build_nbr_cache_blocked(grid, spec, max_d)
+    assert pk.shape[0] % G._CACHE_BLOCK == 0 and pk.shape[0] > max_d
+
+    # routing: the table_gb gate picks blocked above _BLOCKED_TABLE_GB
+    calls = []
+    monkeypatch.setattr(G, "_build_nbr_cache_blocked",
+                        lambda *a: calls.append("blocked") or (None, None))
+    monkeypatch.setattr(G, "_build_nbr_cache_oneshot",
+                        lambda *a: calls.append("oneshot") or (None, None))
+    monkeypatch.setattr(G, "_BLOCKED_TABLE_GB", 0.0)   # everything is "big"
+    G.build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+    monkeypatch.setattr(G, "_BLOCKED_TABLE_GB", 1e9)   # nothing is "big"
+    G.build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+    assert calls == ["blocked", "oneshot"]

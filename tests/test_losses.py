@@ -1,8 +1,12 @@
 """Loss formulas vs hand computations (reference compute_losses semantics)."""
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from sgnerf_tpu.models.losses import compute_losses, masked_mse, mse2psnr
+
+pytestmark = pytest.mark.fast
 
 
 def _out(rng, R=10):

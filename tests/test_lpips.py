@@ -13,6 +13,8 @@ from sgnerf_tpu.utils.lpips import (_ALEX_CONVS, _ALEX_IDX, _VGG_CFG,
                                     _tv_vgg_conv_indices, lpips_distance,
                                     _load)
 
+pytestmark = pytest.mark.fast
+
 
 def _alex_backbone_state(rng):
     sd = {}

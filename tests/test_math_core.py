@@ -17,6 +17,8 @@ from sgnerf_tpu.ops import (
 )
 from sgnerf_tpu.ops.camera import w2pers, pers2w, get_dtu_raydir
 
+pytestmark = pytest.mark.fast
+
 REF = "/root/reference"
 
 

@@ -1,9 +1,13 @@
 """Geometric-consistency filter tests: consistent depth survives, noise dies."""
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from sgnerf_tpu.models.mvs_filter import (
     check_geometric_consistency, filter_depths)
+
+pytestmark = pytest.mark.fast
 
 
 def _setup_views():

@@ -4,6 +4,8 @@ import pytest
 
 from sgnerf_tpu.runtime import native
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def lib():

@@ -6,6 +6,8 @@ import zlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 
 def _make_sens(path, n_frames=2, cw=16, ch=12, dw=8, dh=6):
     """Write a minimal valid .sens v4 file with JPEG color + zlib u16 depth."""

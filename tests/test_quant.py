@@ -1,10 +1,14 @@
 """Stochastic bf16 rounding (ops/quant.py): exactness, unbiasedness,
 gradient semantics, and the render-path integration."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from sgnerf_tpu.ops.quant import stochastic_round_bf16
+
+pytestmark = pytest.mark.fast
 
 
 def test_values_land_on_bf16_grid():

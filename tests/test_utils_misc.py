@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 
 def test_blur_detector_orders_by_sharpness(tmp_path):
     """variance_of_laplacian ranks a blurred copy below the sharp original
