@@ -103,6 +103,63 @@ class SensorData:
                    self.intrinsic_depth, fmt="%f")
 
 
+def read_label_mapping(tsv_path: str, label_from: str = "id",
+                       label_to: str = "nyu40id") -> dict:
+    """Parse `scannetv2-labels.combined.tsv` into {label_from: label_to}.
+
+    Mirrors prepare_2d_data.py's util.read_label_mapping use (reference
+    prepare_2d_data.py:73) and mapping_labels.py:13-21 (column 0 = id,
+    column 4 = nyu40id; header row skipped; 0 maps to 0)."""
+    import csv
+    mapping = {0: 0}
+    with open(tsv_path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            try:
+                mapping[int(row[label_from])] = int(row[label_to])
+            except (KeyError, TypeError, ValueError):
+                continue          # rows with empty target ids are dropped
+    return mapping
+
+
+def map_label_image(image: np.ndarray, mapping: dict) -> np.ndarray:
+    """Raw ScanNet label ids -> mapped (nyu40) uint8 image
+    (reference prepare_2d_data.py:61-66). Unmapped ids become 0
+    (unannotated) rather than passing through out of range."""
+    image = np.asarray(image, np.int64)
+    lut = np.zeros(max(int(image.max()) + 1, max(mapping) + 1), np.uint8)
+    for k, v in mapping.items():
+        lut[k] = v
+    return lut[image]
+
+
+def export_label_images(label_dir: str, out_dir: str, tsv_path: str,
+                        frame_skip: int = 1,
+                        image_size: Optional[Tuple[int, int]] = None):
+    """`scene*/label-filt/*.png` (raw ids) -> `exported/label/{i}.png`
+    (nyu40 uint8), the layout `scannet_ft_dataset` consumes for
+    semantic-guided training (reference prepare_2d_data.py:115-126; the
+    reference keeps the original resolution — pass image_size=(H, W) to
+    resize with NEAREST like its commented-out sktf.resize order=0)."""
+    from PIL import Image
+    mapping = read_label_mapping(tsv_path)
+    os.makedirs(out_dir, exist_ok=True)
+    frames = sorted(int(os.path.splitext(n)[0])
+                    for n in os.listdir(label_dir) if n.endswith(".png"))
+    written = []
+    for i in frames:
+        if i % frame_skip:
+            continue
+        with Image.open(os.path.join(label_dir, f"{i}.png")) as im:
+            raw = np.asarray(im.convert(mode="I"))
+        mapped = Image.fromarray(map_label_image(raw, mapping))
+        if image_size is not None:
+            H, W = image_size
+            mapped = mapped.resize((W, H), Image.NEAREST)
+        mapped.save(os.path.join(out_dir, f"{i}.png"))
+        written.append(i)
+    return written
+
+
 def preprocess_3d(mesh_ply: str, labels_ply: Optional[str],
                   out_pth: str):
     """`_vh_clean_2.ply` (+ `.labels.ply`) -> points.pth tuple
@@ -121,3 +178,45 @@ def preprocess_3d(mesh_ply: str, labels_ply: Optional[str],
     import torch
     torch.save((coords, colors, labels), out_pth)
     return coords, colors, labels
+
+
+def main(argv=None):
+    """CLI mirroring the reference's prepare_2d_data.py flags: walk
+    `--scannet_path` for scene dirs with `<scene>.sens` (+ `label-filt/`
+    when `--export_label_images`), write the `exported/`-style tree under
+    `--output_path/<scene>/` that scannet_ft_dataset consumes."""
+    import argparse
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--scannet_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--export_label_images", action="store_true")
+    p.add_argument("--label_type", default="label-filt")
+    p.add_argument("--frame_skip", type=int, default=1)
+    p.add_argument("--label_map_file",
+                   default="scannetv2-labels.combined.tsv")
+    p.add_argument("--output_image_width", type=int, default=640)
+    p.add_argument("--output_image_height", type=int, default=480)
+    opt = p.parse_args(argv)
+    scenes = sorted(d for d in os.listdir(opt.scannet_path)
+                    if os.path.isdir(os.path.join(opt.scannet_path, d)))
+    print(f"Found {len(scenes)} scenes")
+    for i, scene in enumerate(scenes):
+        out = os.path.join(opt.output_path, scene)
+        print(f"[ {i + 1} | {len(scenes)} ] {scene}", flush=True)
+        sd = SensorData(os.path.join(opt.scannet_path, scene,
+                                     scene + ".sens"))
+        sd.export(out, image_size=(opt.output_image_height,
+                                   opt.output_image_width),
+                  frame_skip=opt.frame_skip)
+        if opt.export_label_images:
+            label_dir = os.path.join(opt.scannet_path, scene, opt.label_type)
+            if not os.path.isdir(label_dir):
+                raise SystemExit(f"ERROR: --export_label_images but "
+                                 f"{label_dir} does not exist")
+            export_label_images(label_dir, os.path.join(out, "label"),
+                                opt.label_map_file,
+                                frame_skip=opt.frame_skip)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,101 @@ def test_preprocess_3d(tmp_path):
     # remapped labels are in {0..19} or 255
     uniq = set(np.unique(lab).tolist())
     assert uniq <= set(range(20)) | {255.0, 255}
+
+
+def _fake_tsv(path):
+    """Minimal scannetv2-labels.combined.tsv: header + rows whose column 0
+    is the raw id and column 4 ('nyu40id') the target."""
+    rows = [
+        "id\traw_category\tcategory\tcount\tnyu40id\tnyu40class",
+        "1\twall\twall\t100\t1\twall",
+        "3\tchair\tchair\t30\t5\tchair",
+        "7\ttable\ttable\t12\t7\ttable",
+        "1163\tobject\tobject\t2\t39\totherfurniture",
+        "50\tmystery\tmystery\t1\t\t",      # empty nyu40id -> dropped
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def test_read_label_mapping(tmp_path):
+    from sgnerf_tpu.data.prepare_scannet import read_label_mapping
+    tsv = str(tmp_path / "labels.tsv")
+    _fake_tsv(tsv)
+    m = read_label_mapping(tsv)
+    assert m == {0: 0, 1: 1, 3: 5, 7: 7, 1163: 39}
+
+
+def test_export_label_images_roundtrip(tmp_path):
+    """Raw-id label-filt PNGs -> exported/label nyu40 PNGs that
+    scannet_ft_dataset's remapper consumes (round-trip to 20-class ids)."""
+    import os
+    from PIL import Image
+    from sgnerf_tpu.data.prepare_scannet import export_label_images
+    from sgnerf_tpu.data.scannet_ft_dataset import label_remapper
+
+    tsv = str(tmp_path / "labels.tsv")
+    _fake_tsv(tsv)
+    src = tmp_path / "label-filt"
+    src.mkdir()
+    raw = np.array([[0, 1, 3], [7, 1163, 50]], np.int32)
+    for i in range(3):
+        Image.fromarray(raw, mode="I").save(src / f"{i}.png")
+
+    out = tmp_path / "exported" / "label"
+    written = export_label_images(str(src), str(out), tsv, frame_skip=2)
+    assert written == [0, 2]
+    assert sorted(os.listdir(out)) == ["0.png", "2.png"]
+
+    with Image.open(out / "0.png") as im:
+        nyu = np.asarray(im.convert(mode="I"))
+    # nyu40 ids per the tsv; unmapped raw id 50 -> 0
+    np.testing.assert_array_equal(nyu, [[0, 1, 5], [7, 39, 0]])
+    # the dataset's remapper turns these into 20-class training ids
+    remapped = label_remapper()[np.clip(nyu, 0, 255)]
+    np.testing.assert_array_equal(remapped, [[255, 0, 4], [6, 19, 255]])
+
+
+def test_export_label_images_resize(tmp_path):
+    from PIL import Image
+    from sgnerf_tpu.data.prepare_scannet import export_label_images
+    tsv = str(tmp_path / "labels.tsv")
+    _fake_tsv(tsv)
+    src = tmp_path / "label-filt"
+    src.mkdir()
+    raw = np.kron(np.array([[1, 3], [7, 0]], np.int32), np.ones((4, 4), np.int32))
+    Image.fromarray(raw, mode="I").save(src / "0.png")
+    out = tmp_path / "label"
+    export_label_images(str(src), str(out), tsv, image_size=(4, 4))
+    with Image.open(out / "0.png") as im:
+        small = np.asarray(im.convert(mode="I"))
+    # NEAREST: each 2x2 quadrant keeps its (mapped) id, no interpolation
+    np.testing.assert_array_equal(
+        small, np.kron(np.array([[1, 5], [7, 0]]), np.ones((2, 2), int)))
+
+
+def test_prepare_cli_label_export(tmp_path):
+    """main() drives .sens export + label export per scene dir."""
+    import os
+    from PIL import Image
+    from sgnerf_tpu.data.prepare_scannet import main
+    scans = tmp_path / "scans"
+    scene = scans / "scene0000_00"
+    scene.mkdir(parents=True)
+    _make_sens(str(scene / "scene0000_00.sens"))
+    lf = scene / "label-filt"
+    lf.mkdir()
+    for i in range(2):
+        Image.fromarray(np.full((12, 16), 3, np.int32), mode="I").save(
+            lf / f"{i}.png")
+    tsv = str(tmp_path / "labels.tsv")
+    _fake_tsv(tsv)
+    out = tmp_path / "outp"
+    main(["--scannet_path", str(scans), "--output_path", str(out),
+          "--export_label_images", "--label_map_file", tsv,
+          "--output_image_width", "16", "--output_image_height", "12"])
+    exp = out / "scene0000_00"
+    assert sorted(os.listdir(exp)) == ["color", "depth", "intrinsic",
+                                       "label", "pose"]
+    with Image.open(exp / "label" / "0.png") as im:
+        assert np.asarray(im.convert(mode="I")).max() == 5
