@@ -300,10 +300,16 @@ def _me_kernel(a, reorder=True):
     ME enumerates hypercube kernel offsets with the FIRST spatial axis
     varying fastest; our ops/sparse._offsets varies the LAST axis fastest
     (meshgrid 'ij'). `reorder` permutes rows between the two conventions
-    (an involution for cubic kernels). Verified only against ME docs — a
-    converted-BPNet render test should confirm when a real checkpoint is
-    available."""
+    (an involution for cubic kernels). Pinned against an independent
+    ME-ordering dense oracle in tests/test_bpnet.py
+    (test_me_kernel_matches_me_order_oracle) and round-tripped through a
+    fabricated reference-format checkpoint (test_convert_bpnet_fabricated).
+
+    kernel_size=1 convs (block downsamples, cls_3d) are stored 2-D
+    (ci, co) by ME — lift them to our (1, ci, co)."""
     a = np.asarray(a)
+    if a.ndim == 2:
+        return a[None]
     if not reorder or a.ndim != 3:
         return a
     k3 = a.shape[0]
