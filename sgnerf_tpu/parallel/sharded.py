@@ -42,17 +42,21 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, rep)
 
 
-def sharded_train_step(state, grid, cfg, tcfg, batch, key, mesh: Mesh):
+def sharded_train_step(state, grid, cfg, tcfg, batch, key, mesh: Mesh,
+                       pspec=None):
     """One training step with the batch rays sharded over `mesh`.
 
     The jitted `train_step` is reused unchanged: input shardings steer GSPMD,
     which partitions the forward/backward along rays and all-reduces the
-    (replicated-param) gradients over ICI.
+    (replicated-param) gradients over ICI. `pspec` (static) routes the
+    forward through the perspective-space querier (--wcoord_query 0): its
+    per-frame frustum grid build is replicated compute; the query and
+    everything downstream shard by rays like the world path.
     """
     batch = shard_batch(batch, mesh)
     state = replicate_tree(state, mesh)
     grid = replicate_tree(grid, mesh)
-    return train_step(state, grid, cfg, tcfg, batch, key)
+    return train_step(state, grid, cfg, tcfg, batch, key, pspec=pspec)
 
 
 def sharded_render(params, cloud, grid, cfg, mesh: Mesh, **inputs):

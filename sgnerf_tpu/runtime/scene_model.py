@@ -139,10 +139,12 @@ class SceneModel:
         self.perspective = int(getattr(opt, "wcoord_query", 1)) == 0
         self.pspec = None
         if self.perspective:
-            assert not int(getattr(opt, "scene_shards", 0) or 0) \
-                and self.ray_mesh is None, (
-                "--wcoord_query 0 (perspective querier) is single-device: "
-                "use --wcoord_query 1 with --scene_shards/--ray_shards")
+            # --ray_shards composes (frustum grid build replicates, query
+            # shards by rays); slab decomposition is world-grid-specific
+            assert not int(getattr(opt, "scene_shards", 0) or 0), (
+                "--wcoord_query 0 (perspective querier) does not compose "
+                "with --scene_shards (the slab decomposition is a world-"
+                "grid layout); use --ray_shards for multi-chip")
             print("[scene_model] wcoord_query=0: per-frame perspective-space "
                   "querier (reference query_point_indices.py); growing "
                   "probes still use the world grid")
@@ -405,9 +407,12 @@ class SceneModel:
             return self._optimize_spatial(batch, key)
         if self.ray_mesh is not None:
             from ..parallel import sharded_train_step
+            if self.perspective:
+                assert self.pspec is not None, \
+                    "perspective mode: call ensure_pspec(item) before optimize()"
             self.state, losses = sharded_train_step(
                 self.state, self.grid, self.cfg, self.tcfg, batch, key,
-                self.ray_mesh)
+                self.ray_mesh, pspec=self.pspec)
             return losses
         if self.perspective:
             assert self.pspec is not None, \

@@ -76,3 +76,70 @@ def test_batch_sharding_layout():
     shard_shapes = [s.data.shape for s in batch["raydir"].addressable_shards]
     assert all(s == (1, 8, 3) for s in shard_shapes)
     assert len(shard_shapes) == 8
+
+
+def test_sharded_train_step_perspective_matches_single_device():
+    """--wcoord_query 0 + --ray_shards (round-3 lift of the single-device
+    restriction): the perspective-querier train step under GSPMD ray
+    sharding matches the unsharded step (frustum grid build replicates,
+    query shards by rays)."""
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+    cloud, grid, cfg, params = _scene()
+    tcfg = TrainConfig()
+    batch = _batch(R=64)
+    key = jax.random.key(9)
+    intr = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]],
+                    np.float32)
+    pspec = perspective_spec_from_camera(
+        intr, 32, 24, 1.0, 5.0, [0.1] * 3, [1, 1, 1], [3, 3, 3], 4096, 16)
+
+    s1 = create_train_state(params, cloud, tcfg)
+    s1, losses1 = train_step(s1, grid, cfg, tcfg, batch, key, pspec=pspec)
+
+    cloud2, grid2, cfg2, params2 = _scene()
+    mesh = make_mesh(8)
+    s2 = create_train_state(params2, cloud2, tcfg)
+    s2, losses2 = sharded_train_step(s2, grid2, cfg2, tcfg, batch, key,
+                                     mesh, pspec=pspec)
+
+    assert float(losses1["total"]) > 0
+    np.testing.assert_allclose(
+        float(losses1["total"]), float(losses2["total"]), rtol=1e-4)
+    a = np.asarray(jax.tree.leaves(s1.params)[0])
+    b = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_scene_model_perspective_ray_shards_wiring(tmp_path):
+    """SceneModel accepts --wcoord_query 0 + --ray_shards together and
+    optimize() routes the pspec through the sharded step."""
+    from sgnerf_tpu.options import TrainOptions
+    from sgnerf_tpu.runtime import SceneModel
+
+    opt = TrainOptions().parse(args=[
+        "--name", "prs", "--checkpoints_dir", str(tmp_path),
+        "--ray_shards", "8", "--wcoord_query", "0",
+        "--img_wh", "32", "24",
+        "--z_depth_dim", "24", "--SR", "4", "--K", "4", "--P", "8",
+        "--max_o", "4096", "--vsize", "0.1", "0.1", "0.1",
+        "--vscale", "1", "1", "1", "--kernel_size", "3", "3", "3",
+        "--act_type", "LeakyReLU", "--num_feat_freqs", "3",
+        "--dist_xyz_freq", "5", "--agg_dist_pers", "20",
+        "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+        "--color_loss_items", "ray_masked_coarse_raycolor",
+        "--color_loss_weights", "1.0",
+        "--which_render_func", "radiance",
+        "--ranges", "-3", "-3", "-3", "3", "3", "3"])
+    model = SceneModel(opt)
+    assert model.ray_mesh is not None and model.perspective
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(800, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    model.setup_from_points(xyz, None, None)
+    intr = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]],
+                    np.float32)
+    model.ensure_pspec({"intrinsic": intr, "near": 1.0, "far": 5.0})
+    batch = _batch(R=64)
+    l0 = float(model.optimize(dict(batch), jax.random.key(0))["total"])
+    l1 = float(model.optimize(dict(batch), jax.random.key(1))["total"])
+    assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
