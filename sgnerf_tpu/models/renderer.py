@@ -67,6 +67,65 @@ def _gather_rows_bwd(res, g):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def gather_rows_f32acc(table, idx):
+    """table[(N,C)][idx] whose transpose scatter-adds in f32.
+
+    The default path scatter-adds the cotangent in the TABLE's dtype — for a
+    bf16 attribute table that sums hundreds of duplicate-id contributions at
+    8-bit mantissa. Casting the cotangent up front costs one elementwise pass
+    and buys f32 accumulation (rounded to table dtype once at the end)."""
+    return table[idx]
+
+
+def _gather_rows_f32acc_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_f32acc_bwd(res, g):
+    idx, n = res
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    dt = jnp.zeros((n, g.shape[-1]), jnp.float32).at[flat_idx].add(flat_g)
+    return dt.astype(g.dtype), None
+
+
+gather_rows_f32acc.defvjp(_gather_rows_f32acc_fwd, _gather_rows_f32acc_bwd)
+
+
+def make_gather_rows_spread(J: int, K: int):
+    """gather whose transpose spreads the scatter over J table copies.
+
+    XLA's TPU scatter-add serializes colliding rows, and neighbor ids
+    collide heavily (adjacent shading points share neighbors). Routing
+    contribution row i to copy (i//K) % J — consecutive SHADING POINTS
+    rotate copies, decorrelating the most collision-prone rows — cuts the
+    collision depth ~J-fold; a (J,N,C) sum afterwards is a dense reduce at
+    HBM speed. Exact up to float summation order; accumulates f32.
+    Memory: J*N*C f32 transient (size the J to the scene)."""
+
+    @jax.custom_vjp
+    def gather(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], (idx, table.shape[0])
+
+    def bwd(res, g):
+        idx, n = res
+        C = g.shape[-1]
+        flat_idx = idx.reshape(-1)
+        flat_g = g.reshape(-1, C).astype(jnp.float32)
+        m = flat_idx.shape[0]
+        lane = (jnp.arange(m, dtype=jnp.int32) // K) % J
+        tgt = lane * n + flat_idx
+        dt = jnp.zeros((J * n, C), jnp.float32).at[tgt].add(flat_g)
+        return jnp.sum(dt.reshape(J, n, C), axis=0).astype(g.dtype), None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static render/query configuration (canonical ScanNet values from
@@ -117,7 +176,15 @@ class RenderConfig:
     #                                  segment_sum (gather_rows above) — the
     #                                  round-1 A/B at 1024 rays lost, but the
     #                                  fused backward since removed most other
-    #                                  step cost, so the scatter fraction grew
+    #                                  step cost, so the scatter fraction grew;
+    #                                  "f32" = scatter-add with f32
+    #                                  accumulation (one up-cast pass);
+    #                                  "spread" = f32 + collision spreading
+    #                                  over spread_J table copies (see
+    #                                  make_gather_rows_spread)
+    spread_J: int = 4                # table copies for gather_vjp="spread"
+    #                                  (J*N*C f32 transient; 4 => ~0.7 GB at
+    #                                  1M points, ~2.8 GB at 4.2M)
     gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
     #                                  makes the quantized attribute table an
     #                                  unbiased estimator of the f32 master
@@ -217,8 +284,14 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # than f32 buffers + bf16 matmuls (59.8k vs 62.8k rays/s): bf16 arrays
     # tile as (16,128) and the relayouts cost more than the halved HBM
     # traffic saves. Compute stays f32 outside the matmuls.
-    take = gather_rows if cfg.gather_vjp == "sorted" else (
-        lambda t, i: t[i])
+    if cfg.gather_vjp == "sorted":
+        take = gather_rows
+    elif cfg.gather_vjp == "f32":
+        take = gather_rows_f32acc
+    elif cfg.gather_vjp == "spread":
+        take = make_gather_rows_spread(cfg.spread_J, cfg.K)
+    else:
+        take = lambda t, i: t[i]
     g = jax.lax.optimization_barrier(take(packed, pid)).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]

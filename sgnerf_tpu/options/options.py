@@ -157,7 +157,8 @@ _F = [
     # attribute-gather transpose in training: "scatter" = XLA's native
     # scatter-add; "sorted" = sort cotangent rows by point id + segment_sum
     # (kills duplicate-index collisions; A/B via dev_scripts/
-    # probe_train_scatter.py)
+    # probe_train_scatter.py); "f32" = scatter with f32 accumulation;
+    # "spread" = f32 + collision spreading over copies of the table
     ("gather_vjp", str, "scatter", None),
     ("compute_dtype", str, "float32", None),
     # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
@@ -324,9 +325,9 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--gather_round must be nearest or stochastic, got {gr!r}")
     gv = getattr(opt, "gather_vjp", "scatter")
-    if gv not in ("scatter", "sorted"):
+    if gv not in ("scatter", "sorted", "f32", "spread"):
         raise ValueError(
-            f"--gather_vjp must be scatter or sorted, got {gv!r}")
+            f"--gather_vjp must be scatter/sorted/f32/spread, got {gv!r}")
     fused = getattr(opt, "fused_mlp", "auto")
     if fused not in ("auto", "pallas", "none"):
         raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")

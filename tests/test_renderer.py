@@ -125,6 +125,29 @@ def test_gather_rows_custom_vjp_matches_plain():
                                np.asarray(table[idx]), atol=0)
 
 
+def test_gather_rows_f32acc_and_spread_match_plain():
+    from sgnerf_tpu.models.renderer import (gather_rows_f32acc,
+                                            make_gather_rows_spread)
+    rng = np.random.default_rng(6)
+    # duplicate-heavy indices (the real workload's collision structure)
+    table = jnp.asarray(rng.normal(size=(40, 7)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 12, size=(5, 6, 8)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(5, 6, 8, 7)).astype(np.float32))
+
+    def f_plain(t):
+        return jnp.sum(t[idx] * cot)
+
+    g_ref = jax.grad(f_plain)(table)
+    for K in (1, 8):
+        for take in (gather_rows_f32acc, make_gather_rows_spread(4, K),
+                     make_gather_rows_spread(3, K)):
+            np.testing.assert_allclose(np.asarray(take(table, idx)),
+                                       np.asarray(table[idx]), atol=0)
+            g = jax.grad(lambda t: jnp.sum(take(t, idx) * cot))(table)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                       atol=1e-5)
+
+
 def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
     """cfg.gather_vjp='sorted' must produce the same render AND the same
     cloud gradients as the default scatter-add transpose."""
@@ -142,12 +165,14 @@ def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
         return jnp.mean((out["coarse_raycolor"] - target) ** 2)
 
     v1, g1 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "scatter")
-    v2, g2 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "sorted")
-    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(g1.embedding),
-                               np.asarray(g2.embedding), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(g1.conf), np.asarray(g2.conf),
-                               atol=1e-6)
+    for variant in ("sorted", "f32", "spread"):
+        v2, g2 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, variant)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1.embedding),
+                                   np.asarray(g2.embedding), atol=1e-6,
+                                   err_msg=variant)
+        np.testing.assert_allclose(np.asarray(g1.conf), np.asarray(g2.conf),
+                                   atol=1e-6, err_msg=variant)
 
 
 def test_render_with_part_rotation_table(scene):
