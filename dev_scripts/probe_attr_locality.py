@@ -89,7 +89,7 @@ def run(n):
     from sgnerf_tpu.ops.grid import voxel_coords, linear_vid
     c = np.asarray(voxel_coords(cloud.xyz, spec))
     c = np.clip(c, 0, np.asarray(spec.vdim) - 1)
-    lv = np.asarray(linear_vid(jnp.asarray(c), spec.vdim))
+    lv = np.asarray(linear_vid(jnp.asarray(c), spec))
     order = np.argsort(lv, kind="stable")          # new_table[j] = old[order[j]]
     rank = np.empty(n, np.int64)
     rank[order] = np.arange(n)                     # old id -> new id
