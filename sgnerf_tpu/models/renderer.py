@@ -93,6 +93,94 @@ def _gather_rows_f32acc_bwd(res, g):
 gather_rows_f32acc.defvjp(_gather_rows_f32acc_fwd, _gather_rows_f32acc_bwd)
 
 
+def make_gather_rows_dedup(T_rows: int, U: int):
+    """Gather whose transpose DEDUPLICATES cotangent rows before the
+    scatter-add.
+
+    probe_bwd_split2: the scatter transpose is 19.2 ms of the 40.2 ms
+    train step, ~97 ns per scattered row; probe_scatter_char: a training
+    ray's 192 neighbor rows hold only ~35 distinct point ids (max 57).
+    The transpose therefore: (1) sorts ids within tiles of `T_rows`
+    consecutive rows (per-ray tiles: T_rows = SR*K), (2) extracts the
+    first `U` distinct ids per tile (top_k on first-occurrence flags — no
+    scatter), (3) sums each tile's duplicate contributions into its slot
+    with an exact one-hot MXU matmul (bf16 1.0*v products under f32
+    accumulation — the fused-KNN redistribute precedent), and (4)
+    scatter-adds only tiles*U aggregated rows.
+
+    Within-tile duplicates accumulate in f32 (BETTER than the plain
+    transpose, which scatter-adds every row in table dtype). EXACTNESS
+    CAVEAT: a tile with more than U distinct ids drops the gradient rows
+    past rank U. Compute `dedup_overflow_count` on the forward indices and
+    keep U at ~2x the observed max (57 at the canonical train config).
+    """
+
+    U = min(U, T_rows)
+
+    @jax.custom_vjp
+    def gather(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], (idx, table.shape[0])
+
+    def bwd(res, g):
+        idx, n = res
+        C = g.shape[-1]
+        flat_idx = idx.reshape(-1)
+        M = flat_idx.shape[0]
+        assert M % T_rows == 0, (M, T_rows)
+        NT = M // T_rows
+        ids2 = flat_idx.reshape(NT, T_rows)
+        g2 = g.reshape(NT, T_rows, C)
+
+        s = jnp.sort(ids2, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones_like(s[:, :1], bool), s[:, 1:] != s[:, :-1]], axis=1)
+        pos = jnp.arange(T_rows, dtype=jnp.int32)
+        score = jnp.where(first, T_rows - pos, -1)
+        _, topp = jax.lax.top_k(score, U)            # first U first-occ pos
+        ok = jnp.take_along_axis(score, topp, axis=1) > 0
+        uniq = jnp.where(ok, jnp.take_along_axis(s, topp, axis=1), n)
+
+        # rank of each original id among the tile's ascending uniques
+        inv = jax.vmap(lambda u, q: jnp.searchsorted(u, q))(uniq, ids2)
+        invc = jnp.clip(inv, 0, U - 1)
+        hit = jnp.take_along_axis(uniq, invc, axis=1) == ids2
+
+        # one-hot in the cotangent's own dtype: bf16 in the real path
+        # (1.0*v products are exact under f32 accumulation), f32 when the
+        # caller differentiates in f32 — never DOWN-cast the cotangent
+        onehot = (jax.nn.one_hot(invc, U, dtype=g.dtype)
+                  * hit[..., None].astype(g.dtype))        # (NT,T,U)
+        agg = jnp.einsum("ntu,ntc->nuc", onehot, g2,
+                         preferred_element_type=jnp.float32)
+        tgt = jnp.clip(uniq, 0, n - 1).reshape(-1)
+        dt = jnp.zeros((n, C), g.dtype).at[tgt].add(
+            agg.reshape(-1, C).astype(g.dtype))
+        return dt, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def dedup_overflow_count(sample_pidx: jnp.ndarray, T_rows: int,
+                         U: int) -> jnp.ndarray:
+    """Number of neighbor rows whose gradient the dedup'd transpose would
+    drop (distinct-id rank >= U within a T_rows tile). Cheap forward-side
+    diagnostic for gather_vjp='raydedup' — keep it 0."""
+    flat = sample_pidx.reshape(-1)
+    M = flat.shape[0]
+    if M % T_rows:
+        return jnp.asarray(-1, jnp.int32)
+    ids2 = jnp.clip(flat, 0, None).reshape(M // T_rows, T_rows)
+    s = jnp.sort(ids2, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], bool), s[:, 1:] != s[:, :-1]], axis=1)
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    return jnp.sum((rank >= U).astype(jnp.int32))
+
+
 def make_gather_rows_spread(J: int, K: int):
     """gather whose transpose spreads the scatter over J table copies.
 
@@ -185,6 +273,12 @@ class RenderConfig:
     spread_J: int = 4                # table copies for gather_vjp="spread"
     #                                  (J*N*C f32 transient; 4 => ~0.7 GB at
     #                                  1M points, ~2.8 GB at 4.2M)
+    gvjp_rows: int = 0               # gather_vjp="raydedup": rows per dedup
+    #                                  tile (0 = SR*K, one ray)
+    gvjp_U: int = 128                # ... distinct-id slots per tile (2.2x
+    #                                  the max 57 measured at the canonical
+    #                                  train config; dedup_overflow_count
+    #                                  diagnoses a too-small U)
     gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
     #                                  makes the quantized attribute table an
     #                                  unbiased estimator of the f32 master
@@ -290,6 +384,9 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
         take = gather_rows_f32acc
     elif cfg.gather_vjp == "spread":
         take = make_gather_rows_spread(cfg.spread_J, cfg.K)
+    elif cfg.gather_vjp == "raydedup":
+        take = make_gather_rows_dedup(cfg.gvjp_rows or cfg.SR * cfg.K,
+                                      cfg.gvjp_U)
     else:
         take = lambda t, i: t[i]
     g = jax.lax.optimization_barrier(take(packed, pid)).astype(jnp.float32)

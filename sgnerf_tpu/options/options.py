@@ -325,9 +325,9 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--gather_round must be nearest or stochastic, got {gr!r}")
     gv = getattr(opt, "gather_vjp", "scatter")
-    if gv not in ("scatter", "sorted", "f32", "spread"):
-        raise ValueError(
-            f"--gather_vjp must be scatter/sorted/f32/spread, got {gv!r}")
+    if gv not in ("scatter", "sorted", "f32", "spread", "raydedup"):
+        raise ValueError("--gather_vjp must be scatter/sorted/f32/spread/"
+                         f"raydedup, got {gv!r}")
     fused = getattr(opt, "fused_mlp", "auto")
     if fused not in ("auto", "pallas", "none"):
         raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")

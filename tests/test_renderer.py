@@ -148,6 +148,49 @@ def test_gather_rows_f32acc_and_spread_match_plain():
                                        atol=1e-5)
 
 
+def test_gather_rows_dedup_matches_plain():
+    """Dedup'd transpose: exact vs the plain scatter-add when no tile
+    exceeds U distinct ids; overflow drops exactly the rank>=U rows and
+    dedup_overflow_count predicts how many."""
+    from sgnerf_tpu.models.renderer import (make_gather_rows_dedup,
+                                            dedup_overflow_count)
+    rng = np.random.default_rng(7)
+    n, T, C = 50, 16, 5
+    table = jnp.asarray(rng.normal(size=(n, C)).astype(np.float32))
+    # 4 tiles of 16 rows; ids drawn from a 6-value pool per tile => <= 6
+    # distinct per tile
+    pools = [rng.choice(n, size=6, replace=False) for _ in range(4)]
+    idx_np = np.stack([p[rng.integers(0, 6, size=T)] for p in pools])
+    idx = jnp.asarray(idx_np.astype(np.int32))
+    cot = jnp.asarray(rng.normal(size=(4, T, C)).astype(np.float32))
+
+    g_ref = jax.grad(lambda t: jnp.sum(t[idx] * cot))(table)
+    for U in (6, 8, 16):
+        take = make_gather_rows_dedup(T, U)
+        np.testing.assert_allclose(np.asarray(take(table, idx)),
+                                   np.asarray(table[idx]), atol=0)
+        g = jax.grad(lambda t: jnp.sum(take(t, idx) * cot))(table)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-5, err_msg=f"U={U}")
+        assert int(dedup_overflow_count(idx, T, U)) == 0
+
+    # U=4 < 6 distinct: overflow; count matches the rank>=U rows
+    take4 = make_gather_rows_dedup(T, 4)
+    g4 = jax.grad(lambda t: jnp.sum(take4(t, idx) * cot))(table)
+    over = int(dedup_overflow_count(idx, T, 4))
+    assert over > 0
+    # dropped rows = contributions of each tile's 2 largest ids
+    drop = np.zeros((n, C), np.float32)
+    for t in range(4):
+        uniq = np.unique(idx_np[t])
+        for d in uniq[4:]:
+            drop[d] += np.asarray(cot[t])[idx_np[t] == d].sum(0)
+    np.testing.assert_allclose(np.asarray(g4) + drop, np.asarray(g_ref),
+                               atol=1e-5)
+    assert over == int(sum((idx_np[t] >= 0)[np.isin(
+        idx_np[t], np.unique(idx_np[t])[4:])].sum() for t in range(4)))
+
+
 def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
     """cfg.gather_vjp='sorted' must produce the same render AND the same
     cloud gradients as the default scatter-add transpose."""
@@ -165,7 +208,7 @@ def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
         return jnp.mean((out["coarse_raycolor"] - target) ** 2)
 
     v1, g1 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "scatter")
-    for variant in ("sorted", "f32", "spread"):
+    for variant in ("sorted", "f32", "spread", "raydedup"):
         v2, g2 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, variant)
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g1.embedding),
