@@ -181,6 +181,63 @@ def dedup_overflow_count(sample_pidx: jnp.ndarray, T_rows: int,
     return jnp.sum((rank >= U).astype(jnp.int32))
 
 
+def dedup_tile_gather(packed: jnp.ndarray, pid: jnp.ndarray,
+                      T_rays: int, U: int):
+    """Two-level attribute gather for RASTER ray blocks: gather each tile's
+    DISTINCT point rows once from the big table, then reconstruct the
+    per-neighbor block with an exact one-hot MXU matmul.
+
+    probe_attr2/3/4 (4.2M points): the plain (B*R*SR*K)-row gather costs
+    ~84 ms/chunk — per-row cost scales with table BYTES — while a raster
+    chunk's 1.77M neighbor rows hold only ~6.7k distinct ids (0.57%), and
+    a 64-ray tile <= 491 (cap U=512 is exact there). Primitives chosen by
+    probe_attr4: per-tile sort + cumsum rank (no top_k at large k), uniq
+    via U-query searchsorted on the nondecreasing rank, inverse rank via a
+    fused pairwise reduction (never a per-row searchsorted/scatter), and a
+    one-hot redistribute whose 1.0*v products are exact under f32
+    accumulation (the fused-KNN dedup precedent, ops/fused_knn.py).
+
+    packed: (N, W) attribute table (any dtype; bf16 recommended — the
+    one-hot operand materializes at (NT, T_rows, U) in packed's dtype).
+    pid: (B, R, SR, K) int32, already clipped to [0, N).
+    Returns (g (B,R,SR,K,W) f32, hit (B,R,SR,K) bool). hit=False marks
+    rows whose tile overflowed U distinct ids (degrade them to "no
+    neighbor", like the KNN dedup_cap) — keep U at ~2x the observed max.
+    """
+    B, R, SR, K = pid.shape
+    n = packed.shape[0]
+    W = packed.shape[1]
+    assert (B * R) % T_rays == 0, (B, R, T_rays)
+    NT = (B * R) // T_rays
+    TW = T_rays * SR * K
+    U = min(U, TW)
+
+    ids2 = pid.reshape(NT, TW)
+    s = jnp.sort(ids2, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], bool), s[:, 1:] != s[:, :-1]], axis=1)
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    # uniq[u] = s at the first position with rank == u (rank nondecreasing)
+    posu = jax.vmap(lambda r: jnp.searchsorted(
+        r, jnp.arange(U, dtype=jnp.int32)))(rank)            # (NT, U)
+    oku = posu < TW
+    uniq = jnp.where(
+        oku, jnp.take_along_axis(s, jnp.clip(posu, 0, TW - 1), axis=1), n)
+    # inverse rank: #uniq entries < id (uniq ascending, fused reduction)
+    inv = jnp.sum((uniq[:, None, :] < ids2[:, :, None]),
+                  axis=2).astype(jnp.int32)                  # (NT, TW)
+    invc = jnp.clip(inv, 0, U - 1)
+    hit = jnp.take_along_axis(uniq, invc, axis=1) == ids2
+
+    rows = packed[jnp.clip(uniq.reshape(-1), 0, n - 1)].reshape(NT, U, W)
+    onehot = (jax.nn.one_hot(invc, U, dtype=packed.dtype)
+              * hit[..., None].astype(packed.dtype))         # (NT, TW, U)
+    g = jnp.einsum("ntu,nuc->ntc", onehot, rows,
+                   preferred_element_type=jnp.float32)
+    return (g.reshape(B, R, SR, K, W),
+            hit.reshape(B, R, SR, K))
+
+
 def make_gather_rows_spread(J: int, K: int):
     """gather whose transpose spreads the scatter over J table copies.
 
@@ -279,6 +336,13 @@ class RenderConfig:
     #                                  the max 57 measured at the canonical
     #                                  train config; dedup_overflow_count
     #                                  diagnoses a too-small U)
+    attr_dedup: int = 0              # EVAL renders: distinct-id slots per
+    #                                  attr-dedup tile (dedup_tile_gather);
+    #                                  0 = plain gather. For RASTER chunks
+    #                                  (render_image) — 64-ray tiles hold
+    #                                  <=491 distinct ids at 4.2M (cap 512
+    #                                  exact); random/shuffled rays overflow
+    attr_tile: int = 64              # rays per attr-dedup tile
     gather_round: str = "nearest"    # bf16 table rounding: "stochastic"
     #                                  makes the quantized attribute table an
     #                                  unbiased estimator of the f32 master
@@ -378,18 +442,28 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # than f32 buffers + bf16 matmuls (59.8k vs 62.8k rays/s): bf16 arrays
     # tile as (16,128) and the relayouts cost more than the halved HBM
     # traffic saves. Compute stays f32 outside the matmuls.
-    if cfg.gather_vjp == "sorted":
-        take = gather_rows
-    elif cfg.gather_vjp == "f32":
-        take = gather_rows_f32acc
-    elif cfg.gather_vjp == "spread":
-        take = make_gather_rows_spread(cfg.spread_J, cfg.K)
-    elif cfg.gather_vjp == "raydedup":
-        take = make_gather_rows_dedup(cfg.gvjp_rows or cfg.SR * cfg.K,
-                                      cfg.gvjp_U)
+    if (cfg.attr_dedup > 0 and key is None
+            and (B * R) % cfg.attr_tile == 0):
+        # eval raster chunks: two-level dedup'd gather; rows whose tile
+        # overflows attr_dedup distinct ids degrade to "no neighbor"
+        g, hit = dedup_tile_gather(packed, pid, cfg.attr_tile,
+                                   cfg.attr_dedup)
+        sample_pnt_mask = sample_pnt_mask & hit
+        g = jax.lax.optimization_barrier(g)
     else:
-        take = lambda t, i: t[i]
-    g = jax.lax.optimization_barrier(take(packed, pid)).astype(jnp.float32)
+        if cfg.gather_vjp == "sorted":
+            take = gather_rows
+        elif cfg.gather_vjp == "f32":
+            take = gather_rows_f32acc
+        elif cfg.gather_vjp == "spread":
+            take = make_gather_rows_spread(cfg.spread_J, cfg.K)
+        elif cfg.gather_vjp == "raydedup":
+            take = make_gather_rows_dedup(cfg.gvjp_rows or cfg.SR * cfg.K,
+                                          cfg.gvjp_U)
+        else:
+            take = lambda t, i: t[i]
+        g = jax.lax.optimization_barrier(
+            take(packed, pid)).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]

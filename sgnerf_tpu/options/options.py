@@ -158,8 +158,15 @@ _F = [
     # scatter-add; "sorted" = sort cotangent rows by point id + segment_sum
     # (kills duplicate-index collisions; A/B via dev_scripts/
     # probe_train_scatter.py); "f32" = scatter with f32 accumulation;
-    # "spread" = f32 + collision spreading over copies of the table
+    # "spread" = f32 + collision spreading over copies of the table;
+    # "raydedup" = aggregate each ray's duplicate rows (f32, MXU) before a
+    # smaller scatter (gvjp_U distinct-id slots per ray)
     ("gather_vjp", str, "scatter", None),
+    ("gvjp_U", int, 128, None),
+    # eval renders: per-tile dedup'd attribute gather (distinct-id slots
+    # per attr_tile-ray tile; 0 = plain gather). Raster render chunks only
+    ("attr_dedup", int, 0, None),
+    ("attr_tile", int, 64, None),
     ("compute_dtype", str, "float32", None),
     # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
     # ops/fused_agg.py; +11% render): auto = on for TPU backends, off on
@@ -405,6 +412,9 @@ def configs_from_opt(opt):
         gather_dtype=opt.gather_dtype,
         gather_round=getattr(opt, "gather_round", "nearest"),
         gather_vjp=gv,
+        gvjp_U=int(getattr(opt, "gvjp_U", 128)),
+        attr_dedup=int(getattr(opt, "attr_dedup", 0)),
+        attr_tile=int(getattr(opt, "attr_tile", 64)),
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,
         knn_mode=knn,

@@ -218,6 +218,46 @@ def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
                                    atol=1e-6, err_msg=variant)
 
 
+def test_attr_dedup_render_matches_plain(scene):
+    """Eval render with the tile-dedup'd attribute gather must equal the
+    plain-gather render exactly when no tile overflows (U generous), and
+    leave the output finite when U is tiny (overflow degrades neighbors,
+    never corrupts)."""
+    import dataclasses
+    cloud, grid, cfg, params = scene
+    campos, raydir, rot = _cam(R=64)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    base = render_rays(params, cloud, grid, cfg, campos=campos,
+                       raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                       bg_color=bg)
+    for tile in (8, 64):
+        cfg2 = dataclasses.replace(cfg, attr_dedup=tile * cfg.SR * cfg.K,
+                                   attr_tile=tile)
+        out = render_rays(params, cloud, grid, cfg2, campos=campos,
+                          raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                          bg_color=bg)
+        np.testing.assert_allclose(
+            np.asarray(out["coarse_raycolor"]),
+            np.asarray(base["coarse_raycolor"]), atol=1e-5,
+            err_msg=f"tile={tile}")
+    # tiny U: overflow degrades but stays finite and renders background
+    cfg3 = dataclasses.replace(cfg, attr_dedup=4, attr_tile=8)
+    out3 = render_rays(params, cloud, grid, cfg3, campos=campos,
+                       raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                       bg_color=bg)
+    assert np.isfinite(np.asarray(out3["coarse_raycolor"])).all()
+    # train path (key given) must ignore attr_dedup
+    k = jax.random.key(3)
+    t1 = render_rays(params, cloud, grid, cfg, campos=campos, raydir=raydir,
+                     camrotc2w=rot, near=1.0, far=5.0, bg_color=bg,
+                     key=k, is_train=True)
+    t2 = render_rays(params, cloud, grid, cfg3, campos=campos,
+                     raydir=raydir, camrotc2w=rot, near=1.0, far=5.0,
+                     bg_color=bg, key=k, is_train=True)
+    np.testing.assert_allclose(np.asarray(t1["coarse_raycolor"]),
+                               np.asarray(t2["coarse_raycolor"]), atol=1e-6)
+
+
 def test_render_with_part_rotation_table(scene):
     """Edited-scene path: Rw2c as a (T,3,3) part table + per-point rot_idx.
     With both rows identity the output must equal the plain render (tests
