@@ -162,21 +162,21 @@ def p_inv(ids):
 
 
 @jax.jit
-def p_gather(ids):
+def p_gather(tbl, ids):
     uniq = extract(ids)
-    rows = table[jnp.clip(uniq.reshape(-1), 0, n - 1)]
+    rows = tbl[jnp.clip(uniq.reshape(-1), 0, n - 1)]
     return jnp.sum(rows.astype(jnp.float32))
 
 
 @jax.jit
-def p_full(ids):
+def p_full(tbl, ids):
     uniq = extract(ids)
     idsm = tiles(ids)
     inv = jnp.sum((uniq[:, None, :] < idsm[:, :, None]),
                   axis=2).astype(jnp.int32)
     invc = jnp.clip(inv, 0, U - 1)
     hit = jnp.take_along_axis(uniq, invc, axis=1) == idsm
-    rows = table[jnp.clip(uniq.reshape(-1), 0, n - 1)].reshape(NT, U, Wc)
+    rows = tbl[jnp.clip(uniq.reshape(-1), 0, n - 1)].reshape(NT, U, Wc)
     onehot = (jax.nn.one_hot(invc, U, dtype=jnp.bfloat16)
               * hit[..., None].astype(jnp.bfloat16))
     out = jnp.einsum("ntu,nuc->ntc", onehot, rows,
@@ -185,36 +185,37 @@ def p_full(ids):
 
 
 @jax.jit
-def g_plain(ids):
-    return jnp.sum(table[jnp.maximum(ids, 0)].astype(jnp.float32))
+def g_plain(tbl, ids):
+    return jnp.sum(tbl[jnp.maximum(ids, 0)].astype(jnp.float32))
 
 
-timeit(g_plain, [(i,) for i in ids_real], tag="baseline")
+timeit(g_plain, [(table, i) for i in ids_real], tag="baseline")
 timeit(p_sort, [(i,) for i in ids_real], tag="sort")
 timeit(p_argsort2, [(i,) for i in ids_real], tag="argsort2")
 timeit(p_rank, [(i,) for i in ids_real], tag="sort+rank")
 timeit(p_uniq, [(i,) for i in ids_real], tag="extract(uniq)")
 timeit(p_inv, [(i,) for i in ids_real], tag="extract+inv")
-timeit(p_gather, [(i,) for i in ids_real], tag=f"extract+gather {NT*U}")
-timeit(p_full, [(i,) for i in ids_real], tag=f"FULL T={T} U={U}")
+timeit(p_gather, [(table, i) for i in ids_real],
+       tag=f"extract+gather {NT*U}")
+timeit(p_full, [(table, i) for i in ids_real], tag=f"FULL T={T} U={U}")
 
 
 # exactness (invalid rows excluded on both sides)
 @jax.jit
-def f_vals(ids):
+def f_vals(tbl, ids):
     uniq = extract(ids)
     idsm = tiles(ids)
     inv = jnp.sum((uniq[:, None, :] < idsm[:, :, None]),
                   axis=2).astype(jnp.int32)
     invc = jnp.clip(inv, 0, U - 1)
     hit = jnp.take_along_axis(uniq, invc, axis=1) == idsm
-    rows = table[jnp.clip(uniq.reshape(-1), 0, n - 1)].reshape(NT, U, Wc)
+    rows = tbl[jnp.clip(uniq.reshape(-1), 0, n - 1)].reshape(NT, U, Wc)
     onehot = (jax.nn.one_hot(invc, U, dtype=jnp.bfloat16)
               * hit[..., None].astype(jnp.bfloat16))
     return jnp.einsum("ntu,nuc->ntc", onehot, rows,
                       preferred_element_type=jnp.float32).reshape(-1, Wc)
 
-got = np.asarray(f_vals(ids_real[0]))
+got = np.asarray(f_vals(table, ids_real[0]))
 mask = (pidx[0] >= 0)[:, None]
 ref = np.asarray(table[jnp.maximum(ids_real[0], 0)].astype(jnp.float32))
 diff = np.abs(np.where(mask, got - ref, 0)).max()
