@@ -442,12 +442,15 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # than f32 buffers + bf16 matmuls (59.8k vs 62.8k rays/s): bf16 arrays
     # tile as (16,128) and the relayouts cost more than the halved HBM
     # traffic saves. Compute stays f32 outside the matmuls.
+    attr_overflow = None
     if (cfg.attr_dedup > 0 and key is None
             and (B * R) % cfg.attr_tile == 0):
         # eval raster chunks: two-level dedup'd gather; rows whose tile
         # overflows attr_dedup distinct ids degrade to "no neighbor"
         g, hit = dedup_tile_gather(packed, pid, cfg.attr_tile,
                                    cfg.attr_dedup)
+        attr_overflow = jnp.sum(
+            (sample_pnt_mask & ~hit).astype(jnp.int32))
         sample_pnt_mask = sample_pnt_mask & hit
         g = jax.lax.optimization_barrier(g)
     else:
@@ -524,6 +527,8 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     sampled = {"xyz": sampled_xyz, "embedding": sampled_embedding,
                "color": sampled_color, "dir": sampled_dir,
                "conf": sampled_conf}
+    if attr_overflow is not None:
+        sampled["attr_dedup_overflow"] = attr_overflow
     return (decoded, ray_valid, weight, conf_coefficient, sample_loc,
             sampled)
 
@@ -556,6 +561,8 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
                                 ).astype(jnp.float32), (B, R, 3)),
             "ray_mask": ray_mask,
             "ray_valid": ray_valid,
+            **({"attr_dedup_overflow": sampled["attr_dedup_overflow"]}
+               if "attr_dedup_overflow" in sampled else {}),
         }
     sampled_xyz, sampled_embedding = sampled["xyz"], sampled["embedding"]
     sampled_color, sampled_dir = sampled["color"], sampled["dir"]
@@ -582,6 +589,8 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
                             ).astype(jnp.float32), (B, R, 3)),
         "ray_mask": ray_mask,                             # (B,R) bool
         "ray_valid": ray_valid,
+        **({"attr_dedup_overflow": sampled["attr_dedup_overflow"]}
+           if "attr_dedup_overflow" in sampled else {}),
         "weight": jax.lax.stop_gradient(weight),
         "blend_weight": jax.lax.stop_gradient(blend_weight),
         "conf_coefficient": conf_coefficient,

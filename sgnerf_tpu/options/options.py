@@ -164,8 +164,11 @@ _F = [
     ("gather_vjp", str, "scatter", None),
     ("gvjp_U", int, 128, None),
     # eval renders: per-tile dedup'd attribute gather (distinct-id slots
-    # per attr_tile-ray tile; 0 = plain gather). Raster render chunks only
-    ("attr_dedup", int, 0, None),
+    # per attr_tile-ray tile; 0 = plain gather, -1 = auto: 512 on TPU —
+    # raster chunks hold <=491 distinct ids per 64-ray tile at 4.2M and
+    # the two-level gather is 2.2x faster, probe_attr4). Overflowing tiles
+    # degrade those neighbors and render_image prints a warning.
+    ("attr_dedup", int, -1, None),
     ("attr_tile", int, 64, None),
     ("compute_dtype", str, "float32", None),
     # fused Pallas aggregator kernel (PE->block1->alpha->K-reduce in VMEM,
@@ -335,6 +338,15 @@ def configs_from_opt(opt):
     if gv not in ("scatter", "sorted", "f32", "spread", "raydedup"):
         raise ValueError("--gather_vjp must be scatter/sorted/f32/spread/"
                          f"raydedup, got {gv!r}")
+    def _resolve_attr_dedup(ad: int) -> int:
+        if ad >= 0:
+            return ad
+        import jax
+        # auto: the dedup'd two-level gather pays on big tables/raster
+        # chunks (probe_attr4: 39 vs 85 ms at 4.2M); CPU tests keep the
+        # plain gather (the einsum path is slow in interpret-scale runs)
+        return 512 if jax.default_backend() != "cpu" else 0
+
     fused = getattr(opt, "fused_mlp", "auto")
     if fused not in ("auto", "pallas", "none"):
         raise ValueError(f"--fused_mlp must be auto/pallas/none, got {fused!r}")
@@ -413,7 +425,7 @@ def configs_from_opt(opt):
         gather_round=getattr(opt, "gather_round", "nearest"),
         gather_vjp=gv,
         gvjp_U=int(getattr(opt, "gvjp_U", 128)),
-        attr_dedup=int(getattr(opt, "attr_dedup", 0)),
+        attr_dedup=_resolve_attr_dedup(int(getattr(opt, "attr_dedup", -1))),
         attr_tile=int(getattr(opt, "attr_tile", 64)),
         domain_size=float(opt.domain_size),
         shpnt_jitter=opt.shpnt_jitter,

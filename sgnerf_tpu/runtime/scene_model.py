@@ -64,8 +64,10 @@ def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
                 out = render_rays(params, cloud, grid, cfg, campos=campos,
                                   raydir=rd, camrotc2w=rot, near=near,
                                   far=far, bg_color=bg, is_train=False)
-            return out["coarse_raycolor"]          # (B, Rc, 3)
-        return jax.lax.map(one, raydirs)
+            return (out["coarse_raycolor"],        # (B, Rc, 3)
+                    out.get("attr_dedup_overflow", jnp.asarray(0)))
+        cols, over = jax.lax.map(one, raydirs)
+        return cols, jnp.sum(over)
 
     return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
               pspec)
@@ -640,18 +642,30 @@ class SceneModel:
         near = jnp.asarray(item["near"])
         far = jnp.asarray(item["far"])
         bg = jnp.asarray(item["bg_color"])
+        overs = []
         for s in range(0, len(raydir_p), group):
             rds = jnp.asarray(
                 raydir_p[s:s + group].reshape(G, B, chunk_rays, 3))
             if ray_put is not None:
                 rds = ray_put(rds)
-            cols.append(_render_chunk_group(
+            c, over = _render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
-                rot, near, far, bg, pspec=self.pspec))
+                rot, near, far, bg, pspec=self.pspec)
+            cols.append(c)
+            overs.append(over)
             # results stay on-device: dispatches pipeline, so device compute
             # of group i overlaps the enqueue of group i+1
         col = np.concatenate([np.asarray(c).reshape(-1, 3)
                               for c in cols])[:R]
+        if self.cfg.attr_dedup > 0:
+            n_over = int(sum(int(o) for o in overs))
+            if n_over > 0 and not getattr(self, "_warned_attr_over", False):
+                print(f"[render] attr-dedup overflow: {n_over} neighbor "
+                      f"rows exceeded --attr_dedup {self.cfg.attr_dedup} "
+                      "distinct ids per tile and were dropped; raise "
+                      "--attr_dedup (or set 0 for the plain gather)",
+                      flush=True)
+                self._warned_attr_over = True
         return col
 
     def _render_image_spatial(self, item, raydir, chunk_rays):
