@@ -43,3 +43,20 @@ def test_scripts_reference_existing_entry_points():
         for m in re.finditer(r"python3? (run/\w+\.py)", open(script).read()):
             assert os.path.exists(os.path.join(REPO, m.group(1))), \
                 f"{script}: missing entry point {m.group(1)}"
+
+
+def test_attr_dedup_flag_threads_to_render_config():
+    """--attr_dedup: -1 resolves per-backend (0 on CPU), explicit values
+    pass through, and gvjp_U/attr_tile thread into RenderConfig."""
+    from sgnerf_tpu.options.options import configs_from_opt
+
+    opt = TrainOptions().parse(["--name", "t"])
+    cfg, _, _ = configs_from_opt(opt)
+    assert cfg.attr_dedup == 0          # auto on CPU = plain gather
+
+    opt = TrainOptions().parse(
+        ["--name", "t", "--attr_dedup", "256", "--attr_tile", "32",
+         "--gvjp_U", "96", "--gather_vjp", "raydedup"])
+    cfg, _, _ = configs_from_opt(opt)
+    assert cfg.attr_dedup == 256 and cfg.attr_tile == 32
+    assert cfg.gvjp_U == 96 and cfg.gather_vjp == "raydedup"
