@@ -377,10 +377,18 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         kj, ks, kg = jax.random.split(key, 3)
 
     raygen = find_ray_generation_method(cfg.which_ray_generation)
-    raypos, _, _, _ = raygen(
+    raypos, _, _, ray_ts = raygen(
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
         jitter=cfg.jitter if is_train else 0.0, key=kj,
         domain_size=cfg.domain_size)
+    # lazy-position compaction: positions recomputed from (campos, dir, t)
+    # only for selected samples, bit-identical to the raypos gathers but
+    # -4.4 ms/chunk (probe_mask_lazy). Only valid when raypos really is
+    # campos + t*dir — the cube raygen clips rays to an AABB instead.
+    lazy_ok = cfg.which_ray_generation in ("near_far_linear",
+                                           "near_far_disparity_linear",
+                                           "nerf_near_far_linear",
+                                           "nerf_near_far_disparity_linear")
 
     use_sem = bool(cfg.semantic_guidance) and is_train and pixel_label is not None
     q = query_neighbors(
@@ -390,7 +398,10 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
         points_label=cloud.label if use_sem else None,
         points_label_prob=cloud.label_prob if use_sem else None,
         key=ks, semantic_guidance=use_sem, knn_mode=cfg.knn_mode,
-        dedup_tile=cfg.dedup_tile, dedup_cap=cfg.dedup_cap)
+        dedup_tile=cfg.dedup_tile, dedup_cap=cfg.dedup_cap,
+        campos=campos if lazy_ok else None,
+        raydir=raydir if lazy_ok else None,
+        tvals=ray_ts if lazy_ok else None)
 
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,

@@ -57,7 +57,10 @@ def compact_hits(hit: jnp.ndarray, SR: int):
 
 
 def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
-                             ray_label: Optional[jnp.ndarray] = None):
+                             ray_label: Optional[jnp.ndarray] = None,
+                             campos: Optional[jnp.ndarray] = None,
+                             raydir: Optional[jnp.ndarray] = None,
+                             tvals: Optional[jnp.ndarray] = None):
     """Mask ray samples by dilated occupancy and compact the first SR hits.
 
     raypos: (B,R,D,3). Returns (sample_loc_w (B,R,SR,3), sample_mask (B,R,SR),
@@ -66,10 +69,22 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
     Matches `mask_raypos` + cumsum compaction + `get_shadingloc`
     (reference :413-487, :843-874): along each ray, the first SR samples whose
     voxel is within kernel_size of an occupied voxel become shading points.
+
+    With campos (B,3) + raydir (B,R,3) + tvals (B,R,D) also given and the
+    two-level path active, positions are computed LAZILY from the sample
+    depths (campos + t*dir) instead of gathered from the materialized
+    raypos — bit-identical, drops three (0.9M/0.9M/0.2M)-row 12-byte
+    gathers for one L-wide segment gather + FMAs (-4.4 ms/chunk at 4.2M,
+    probe_mask_lazy.py; raypos itself is then dead code XLA prunes).
     """
     spec = grid.spec
     B, R, D, _ = raypos.shape
-    if spec.coarse_factor > 1 and grid.coarse_occ.size > 0:
+    lazy = (campos is not None and raydir is not None and tvals is not None
+            and spec.coarse_factor > 1 and grid.coarse_occ.size > 0
+            and D % spec.seg_len == 0)
+    if lazy:
+        loc, smask = _two_level_hits_lazy(campos, raydir, tvals, grid, SR)
+    elif spec.coarse_factor > 1 and grid.coarse_occ.size > 0:
         smask, gather_d = _two_level_hits(raypos, grid, SR)
     else:
         coords = voxel_coords(raypos, spec)
@@ -78,8 +93,9 @@ def mask_and_compact_samples(raypos: jnp.ndarray, grid: PointGrid, SR: int,
         occ = _take3d(grid.occ_mask, cc, spec.vdim) > 0
         hit = inb & occ  # (B,R,D)
         smask, gather_d = compact_hits(hit, SR)
-    loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
-    loc = jnp.where(smask[..., None], loc, 0.0)
+    if not lazy:
+        loc = jnp.take_along_axis(raypos, gather_d[..., None], axis=2)
+        loc = jnp.where(smask[..., None], loc, 0.0)
     lbl = None
     if ray_label is not None:
         # per-ray label broadcast along samples (reference repeats it, :110)
@@ -140,6 +156,53 @@ def _two_level_hits(raypos, grid: PointGrid, SR: int):
     return smask, jnp.clip(gather_d, 0, D - 1)
 
 
+def _two_level_hits_lazy(campos, raydir, tvals, grid: PointGrid, SR: int):
+    """`_two_level_hits` with positions computed from per-sample depths:
+    segment midpoints are a pure reshape-slice of tvals, fine samples one
+    L-wide take_along over the G axis, and every 3-D position an FMA.
+    Bit-identical to the raypos-gather path (probe_mask_lazy.py parity).
+    Returns (loc (B,R,SR,3), smask (B,R,SR))."""
+    spec = grid.spec
+    B, R, D = tvals.shape
+    L, F = spec.seg_len, spec.coarse_factor
+    G = D // L
+    C = min(spec.seg_cap, G)
+    cdim = jnp.asarray(grid.coarse_occ.shape, jnp.int32)
+    ts4 = tvals.reshape(B, R, G, L)
+
+    t_mid = ts4[..., min(L // 2, L - 1)]                     # (B,R,G)
+    mpos = campos[:, None, None, :] + raydir[:, :, None, :] * t_mid[..., None]
+    ccoord = voxel_coords(mpos, spec) // F
+    cin = jnp.all((ccoord >= 0) & (ccoord < cdim), axis=-1)
+    cc = jnp.clip(ccoord, 0, cdim - 1)
+    cocc = _take3d(grid.coarse_occ, cc, grid.coarse_occ.shape) > 0
+    seg_hit = cin & cocc                                     # (B,R,G)
+
+    g_rng = jnp.arange(G, dtype=jnp.int32)
+    top, top_g = jax.lax.top_k(jnp.where(seg_hit, G - g_rng, -1), C)
+    seg_ok = top > 0
+    seg_idx = jnp.clip(top_g, 0, G - 1)
+
+    t_fine = jnp.take_along_axis(ts4, seg_idx[..., None], axis=2)  # (B,R,C,L)
+    fine_d = seg_idx[..., None] * L + jnp.arange(L, dtype=jnp.int32)
+    fine_ok = seg_ok[..., None] & (fine_d < D)
+    fine_d2 = jnp.minimum(fine_d, D - 1).reshape(B, R, C * L)
+    fpos = (campos[:, None, None, :]
+            + raydir[:, :, None, :] * t_fine.reshape(B, R, C * L)[..., None])
+    coords = voxel_coords(fpos, spec)
+    inb = in_bounds(coords, spec)
+    ccf = jnp.clip(coords, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+    occ = _take3d(grid.occ_mask, ccf, spec.vdim) > 0
+    hit = inb & occ & fine_ok.reshape(B, R, C * L)
+
+    score = jnp.where(hit, D - fine_d2, -1)
+    top2, top2_i = jax.lax.top_k(score, SR)
+    smask = top2 > 0
+    t_sel = jnp.take_along_axis(t_fine.reshape(B, R, C * L), top2_i, axis=-1)
+    loc = campos[:, None, None, :] + raydir[:, :, None, :] * t_sel[..., None]
+    return jnp.where(smask[..., None], loc, 0.0), smask
+
+
 def _neighbor_offsets(kernel_size):
     kx, ky, kz = kernel_size
     ox = np.arange(kx) - kx // 2
@@ -161,7 +224,10 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     semantic_guidance: bool = False,
                     knn_mode: str = "exact",
                     dedup_tile: int = 64,
-                    dedup_cap: int = 160) -> QueryResult:
+                    dedup_cap: int = 160,
+                    campos: Optional[jnp.ndarray] = None,
+                    raydir: Optional[jnp.ndarray] = None,
+                    tvals: Optional[jnp.ndarray] = None) -> QueryResult:
     """Full query pipeline: sample masking -> SR compaction -> KNN.
 
     points_xyz: (N,3) the full (padded) point store; raypos: (B,R,D,3).
@@ -181,7 +247,8 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
     N = points_xyz.shape[0]
 
     sample_loc_w, smask, sample_label = mask_and_compact_samples(
-        raypos, grid, SR, ray_label if semantic_guidance else None)
+        raypos, grid, SR, ray_label if semantic_guidance else None,
+        campos=campos, raydir=raydir, tvals=tvals)
 
     if spec.nbr_cache > 0 and grid.nbr_packed.shape[0] > 0:
         # fast path: ONE gather per shading point from the merged

@@ -299,6 +299,46 @@ def test_two_level_compaction_matches_flat():
         np.testing.assert_allclose(np.asarray(loc2), np.asarray(loc)), C
 
 
+def test_two_level_lazy_positions_match_eager():
+    """The lazy-t compaction (positions recomputed from campos + t*dir)
+    must match the raypos-gather path exactly — same mask, same locs —
+    through mask_and_compact_samples AND query_neighbors."""
+    import dataclasses
+    xyz = _small_cloud(2000, seed=1)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    spec = _spec(xyz)
+    spec2 = dataclasses.replace(spec, coarse_factor=4, seg_len=4, seg_cap=16)
+    grid2 = build_point_grid(jnp.asarray(xyz), jnp.ones(len(xyz), bool),
+                             spec2)
+    B, R, D = 1, 48, 64
+    rng = np.random.default_rng(2)
+    campos = np.array([[0.0, 0.0, -2.5]], np.float32)
+    d = rng.normal(size=(B, R, 3)).astype(np.float32) * 0.3
+    d[..., 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.broadcast_to(np.linspace(1.0, 4.5, D, dtype=np.float32),
+                        (B, R, D))
+    raypos = campos[:, None, None, :] + d[..., None, :] * t[..., None]
+    raypos, d, t, campos = (jnp.asarray(raypos), jnp.asarray(d),
+                            jnp.asarray(t), jnp.asarray(campos))
+
+    loc_e, sm_e, _ = mask_and_compact_samples(raypos, grid2, 8)
+    loc_l, sm_l, _ = mask_and_compact_samples(raypos, grid2, 8,
+                                              campos=campos, raydir=d,
+                                              tvals=t)
+    np.testing.assert_array_equal(np.asarray(sm_e), np.asarray(sm_l))
+    np.testing.assert_allclose(np.asarray(loc_e), np.asarray(loc_l),
+                               atol=1e-6)
+
+    q1 = query_neighbors(grid2, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2)
+    q2 = query_neighbors(grid2, jnp.asarray(xyz), raypos, K=4, SR=8,
+                         radius_limit=0.2, campos=campos, raydir=d,
+                         tvals=t)
+    np.testing.assert_array_equal(np.asarray(q1.sample_pidx),
+                                  np.asarray(q2.sample_pidx))
+
+
 def test_two_level_query_neighbors_end_to_end():
     import dataclasses
     xyz = _small_cloud(2000, seed=1)
