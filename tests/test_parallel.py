@@ -143,3 +143,34 @@ def test_scene_model_perspective_ray_shards_wiring(tmp_path):
     l0 = float(model.optimize(dict(batch), jax.random.key(0))["total"])
     l1 = float(model.optimize(dict(batch), jax.random.key(1))["total"])
     assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
+
+
+def test_ray_dp_render_with_attr_dedup_matches_unsharded():
+    """Eval render with the tile-dedup'd attribute gather under ray-DP
+    (rays GSPMD-sharded over the 8-device mesh): dedup tiles are
+    consecutive-ray blocks, so shard boundaries that divide attr_tile
+    leave the result identical to the unsharded dedup render."""
+    import dataclasses
+    from sgnerf_tpu.models.renderer import render_rays
+    from sgnerf_tpu.parallel import make_mesh, ray_sharding, replicated
+
+    cloud, grid, cfg, params = _scene()
+    cfg = dataclasses.replace(cfg, attr_dedup=8 * cfg.SR * cfg.K,
+                              attr_tile=8)
+    batch = _batch(R=512)
+
+    def render(params_, cloud_, grid_, rd):
+        return render_rays(
+            params_, cloud_, grid_, cfg, campos=batch["campos"],
+            raydir=rd, camrotc2w=batch["camrotc2w"], near=1.0, far=5.0,
+            bg_color=batch["bg_color"])["coarse_raycolor"]
+
+    base = np.asarray(render(params, cloud, grid, batch["raydir"]))
+
+    mesh = make_mesh(8)
+    rep = replicated(mesh)
+    rs = ray_sharding(mesh, ray_axis=1)
+    out = render(jax.device_put(params, rep), jax.device_put(cloud, rep),
+                 jax.device_put(grid, rep),
+                 jax.device_put(batch["raydir"], rs))
+    np.testing.assert_allclose(np.asarray(out), base, atol=1e-5)
