@@ -87,6 +87,7 @@ st = type(st)(params=st.params,
 jax.block_until_ready(st.cloud.xyz)
 t_grow = time.time() - t0
 t0 = time.time()
+grid = None     # free the old 2.5 GiB cache first (as SceneModel._rebuild)
 grid = build_grid(st.cloud, spec)
 jax.block_until_ready(grid.bucket_pnts)
 t_rebuild = time.time() - t0
@@ -106,6 +107,7 @@ c2 = prune(c2, 0.5)
 jax.block_until_ready(c2.xyz)
 t_prune = time.time() - t0
 t0 = time.time()
+grid = None
 grid = build_grid(c2, spec)
 jax.block_until_ready(grid.bucket_pnts)
 print(f"prune to {int(c2.n_active)}: mask {t_prune:.1f}s, rebuild "

@@ -572,6 +572,10 @@ class SceneModel:
         params = self.state.params
         step = self.state.step
         self._refit_spec(cloud)
+        # free the OLD grid before building the new one: at 4.2M points the
+        # neighborhood cache is ~2.5 GiB and holding both through the build
+        # transients OOMs a 16 GB chip (probe_grow_42m.py caught it)
+        self.grid = None
         self.grid = build_grid(cloud, self.spec)
         st = create_train_state(params, cloud, self.tcfg)
         self.state = dataclasses.replace(st, step=step,
