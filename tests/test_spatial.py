@@ -408,3 +408,27 @@ def test_spatial_multi_step_matches_sequential(tmp_path):
     # the scanned program fuses differently from the per-step dispatches,
     # reordering reductions: measured drift 126/1M elements, max 2.2e-5
     np.testing.assert_allclose(emb_seq, emb_mul, rtol=3e-4, atol=5e-5)
+
+
+def test_sharded_render_with_attr_dedup_matches(scene):
+    """--scene_shards composes with --attr_dedup (auto-on for TPU eval):
+    the dedup'd gather runs inside the slab shard_map body; below the cap
+    it must not change the sharded render."""
+    import dataclasses
+    cloud, spec, grid, cfg, params = scene
+    campos, raydir, rot = _rays(256)
+    bg = jnp.ones(3)
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+    base = render_rays_spatial(params, sharded, sspec, cfg, mesh,
+                               campos=campos, raydir=raydir, camrotc2w=rot,
+                               near=1.0, far=5.0, bg_color=bg)
+    cfg2 = dataclasses.replace(cfg, attr_dedup=8 * cfg.SR * cfg.K,
+                               attr_tile=8)
+    out = render_rays_spatial(params, sharded, sspec, cfg2, mesh,
+                              campos=campos, raydir=raydir, camrotc2w=rot,
+                              near=1.0, far=5.0, bg_color=bg)
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(base["coarse_raycolor"]),
+                               atol=1e-5)
