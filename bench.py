@@ -214,7 +214,8 @@ def main():
     # syncing chunk i, hiding the fixed per-dispatch latency (measured
     # ~38 ms through the remote-TPU tunnel). Inputs vary per call (no
     # backend memoization) and every result is synced at the end.
-    iters = 5                                # 5 groups x G=8 chunks
+    iters = 8                                # 8 groups x G=8 chunks (ADVICE
+    # r2: more iters tightens run-to-run variance of the recorded number)
     t0 = time.perf_counter()
     results = [step(params, cloud, grid, raydir_groups[i % 3])
                for i in range(iters)]
