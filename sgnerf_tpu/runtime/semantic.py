@@ -86,7 +86,7 @@ class SemanticDriver:
 
         def work():
             out = self.bpnet.train_bpnet(locs, feats, paths, image_path,
-                                         intr4)
+                                         intr4, device_out=True)
             with self._lock:
                 self._result = out
 
@@ -127,7 +127,7 @@ class SemanticDriver:
             if self._last is not None:
                 return
             snap = self._snapshot(model, item)
-            out = self.bpnet.train_bpnet(*snap)
+            out = self.bpnet.train_bpnet(*snap, device_out=True)
             self._apply(model, out)
         elif self._worker is None:
             # one refresh in flight at a time; a due tick while the previous
