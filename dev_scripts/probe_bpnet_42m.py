@@ -74,3 +74,16 @@ for dtype in ("float32", "bfloat16"):
           f"(compile), warm {t_warm:.2f}s; labels {labels.shape} "
           f"probs {probs.shape} feat {feat.shape}", flush=True)
     del net
+
+# device_out: the (N,20)+(N,96) devoxelize stays on device (the driver's
+# refresh path) — time the same forward without the host round-trip
+cfg = BPNetConfig(classes=20, view_num=3, img_wh=(W, H),
+                  compute_dtype="bfloat16")
+net = BPNet(cfg, key=jax.random.key(0))
+_ = net.train_bpnet(xyz, feats, [paths], paths[0], intr4, device_out=True)
+t0 = time.time()
+lb, pr, l2, ft, _ = net.train_bpnet(xyz, feats, [paths], paths[0], intr4,
+                                    device_out=True)
+jax.block_until_ready(ft)
+print(f"[bf16 device_out] warm {time.time()-t0:.2f}s "
+      f"(probs/feat stay on device)", flush=True)
