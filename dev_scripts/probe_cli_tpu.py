@@ -121,4 +121,19 @@ r2 = run("test_ft.py", ["--name", "tpu_smoke", "--data_root", data,
                         "--resume_iter", "latest",
                         "--test_num_step", "3"] + COMMON)
 assert "mean psnr" in r2.stdout, "test_ft produced no psnr line"
+
+run("render_vid.py", ["--name", "tpu_smoke", "--data_root", data,
+                      "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                      "--resume_iter", "latest"] + COMMON)
+
+# semantic training on the real backend (BPNet forward + the
+# device-resident devoxelize + semantic-guided query)
+run("train_ft.py", ["--name", "tpu_sem", "--data_root", data,
+                    "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                    "--maximum_step", "4", "--save_iter_freq", "4",
+                    "--test_freq", "0", "--print_freq", "2",
+                    "--test_num", "0", "--predict_semantic", "1",
+                    "--semantic_guidance", "1", "--classes", "20",
+                    "--layers_2d", "18", "--bpnet_refresh_every", "2"]
+    + COMMON)
 print("TPU CLI SMOKE OK")
