@@ -391,11 +391,17 @@ class MvsPointsModel:
         prob = jax.nn.softmax(cost, axis=0)
         depth = jnp.sum(prob * dvals, axis=0)
         # photometric confidence: 4-tap prob sum around the regressed index
+        # (reference 4*avg_pool3d over a (1,2)-ZERO-padded D axis then gather
+        # at the truncated index, depth_estimators/mvsnet.py:133-135 — taps
+        # falling off either end contribute 0, not an edge duplicate)
         d_index = jnp.sum(
             prob * jnp.arange(D, dtype=prob.dtype)[:, None, None], axis=0)
         idx = d_index.astype(jnp.int32)
-        taps = jnp.clip(idx[None] + jnp.arange(-1, 3)[:, None, None], 0, D - 1)
-        conf = jnp.sum(jnp.take_along_axis(prob, taps, axis=0), axis=0)
+        taps = idx[None] + jnp.arange(-1, 3)[:, None, None]
+        valid = (taps >= 0) & (taps < D)
+        conf = jnp.sum(jnp.where(
+            valid, jnp.take_along_axis(prob, jnp.clip(taps, 0, D - 1), axis=0),
+            0.0), axis=0)
         return depth, conf, prob
 
     # ----------------------------------------------------- point unprojection

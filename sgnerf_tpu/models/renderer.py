@@ -406,17 +406,23 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,
                             camrotc2w, bg_color, prob,
-                            key=kg if is_train else None)
+                            key=kg if is_train else None, is_train=is_train)
 
 
 def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
                          campos, raydir, camrotc2w, key=None,
-                         fuse_march=False):
+                         fuse_march=False, is_train=False):
     """Neighbor-attribute gather + per-neighbor MLP aggregation (everything
     between the query and the volume march). Shared by the single-device
     paths below and by the spatially-sharded renderer (parallel/spatial.py),
     where each chip runs it on its LOCAL point shard and the decoded
     features are psummed before marching.
+
+    `is_train` MUST be passed explicitly by every differentiable caller:
+    the eval-only attr_dedup gather is gated on it (NOT on `key is None` —
+    the spatial training forward legitimately runs keyless, and random
+    training-ray tiles overflow the distinct-id cap, which would silently
+    corrupt gradients).
 
     Returns (decoded (B,R,SR,4), ray_valid (B,R,SR), weight (B,R,SR,K),
     conf_coefficient, sample_loc (perspective coords), sampled dict for the
@@ -454,7 +460,8 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     # tile as (16,128) and the relayouts cost more than the halved HBM
     # traffic saves. Compute stays f32 outside the matmuls.
     attr_overflow = None
-    if (cfg.attr_dedup > 0 and key is None
+    gvjp_overflow = None
+    if (cfg.attr_dedup > 0 and not is_train
             and (B * R) % cfg.attr_tile == 0):
         # eval raster chunks: two-level dedup'd gather; rows whose tile
         # overflows attr_dedup distinct ids degrade to "no neighbor"
@@ -472,8 +479,16 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
         elif cfg.gather_vjp == "spread":
             take = make_gather_rows_spread(cfg.spread_J, cfg.K)
         elif cfg.gather_vjp == "raydedup":
-            take = make_gather_rows_dedup(cfg.gvjp_rows or cfg.SR * cfg.K,
-                                          cfg.gvjp_U)
+            T_rows = cfg.gvjp_rows or cfg.SR * cfg.K
+            take = make_gather_rows_dedup(T_rows, cfg.gvjp_U)
+            if is_train:
+                # forward-side diagnostic: rows whose gradient the dedup'd
+                # transpose will DROP (distinct-id rank >= gvjp_U in a
+                # tile). Surfaced into the losses dict so the training
+                # loop's periodic prints show a nonzero count the moment a
+                # config change (larger SR/K, different sampling) makes the
+                # raydedup transpose lossy.
+                gvjp_overflow = dedup_overflow_count(pid, T_rows, cfg.gvjp_U)
         else:
             take = lambda t, i: t[i]
         g = jax.lax.optimization_barrier(
@@ -540,19 +555,22 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
                "conf": sampled_conf}
     if attr_overflow is not None:
         sampled["attr_dedup_overflow"] = attr_overflow
+    if gvjp_overflow is not None:
+        sampled["gvjp_overflow"] = gvjp_overflow
     return (decoded, ray_valid, weight, conf_coefficient, sample_loc,
             sampled)
 
 
 def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
-                     campos, raydir, camrotc2w, bg_color, prob, key=None):
+                     campos, raydir, camrotc2w, bg_color, prob, key=None,
+                     is_train=False):
     """Everything downstream of the neighbor query: gather -> aggregate ->
     march -> outputs (shared by the world- and perspective-space paths)."""
     B, R, _ = raydir.shape
     # fully-fused eval render (--fused_march): shading + march in one Pallas
     # kernel; eval-only (train/prob need the per-sample outputs) and gated
     # to the canonical radiance/alpha/off tail the kernel implements
-    fuse_march = (cfg.agg.fused_march and key is None and not prob
+    fuse_march = (cfg.agg.fused_march and not is_train and not prob
                   and cfg.which_render_func == "radiance"
                   and cfg.which_blend_func == "alpha"
                   and cfg.which_tonemap_func == "off"
@@ -560,7 +578,8 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
     (decoded, ray_valid, weight, conf_coefficient, sample_loc,
      sampled) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
                                      sample_loc_w, campos, raydir, camrotc2w,
-                                     key=key, fuse_march=fuse_march)
+                                     key=key, fuse_march=fuse_march,
+                                     is_train=is_train)
     if isinstance(decoded, dict):                 # in-kernel march engaged
         out4 = decoded["march"]                   # (B,R,4) [color | bgT]
         bg = jnp.asarray(bg_color, out4.dtype).reshape(-1, 1, 3)
@@ -602,6 +621,8 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
         "ray_valid": ray_valid,
         **({"attr_dedup_overflow": sampled["attr_dedup_overflow"]}
            if "attr_dedup_overflow" in sampled else {}),
+        **({"gvjp_overflow": sampled["gvjp_overflow"]}
+           if "gvjp_overflow" in sampled else {}),
         "weight": jax.lax.stop_gradient(weight),
         "blend_weight": jax.lax.stop_gradient(blend_weight),
         "conf_coefficient": conf_coefficient,
@@ -691,4 +712,5 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
     loc_w = jnp.where(res.sample_loc_mask[..., None], loc_w, 0.0)
     return _shade_and_march(params, cloud, cfg, res.sample_pidx, loc_w,
                             res.ray_mask, campos, raydir, camrotc2w,
-                            bg_color, prob, key=kg if is_train else None)
+                            bg_color, prob, key=kg if is_train else None,
+                            is_train=is_train)

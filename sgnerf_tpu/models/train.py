@@ -174,6 +174,13 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
             gt_mask=batch.get("gt_mask"),
             sparse_loss_weight=tcfg.sparse_loss_weight,
             zero_epsilon=tcfg.zero_epsilon)
+        if "gvjp_overflow" in out:
+            # gather_vjp=raydedup drops gradient rows past gvjp_U distinct
+            # ids per tile; the forward-side count rides the losses dict so
+            # the training loop's periodic prints expose a lossy config
+            # (keep it 0 — see renderer.make_gather_rows_dedup)
+            losses = dict(losses, gvjp_overflow=jax.lax.stop_gradient(
+                out["gvjp_overflow"]).astype(jnp.float32))
         return total, losses
 
     pts = _point_subtree(state.cloud)

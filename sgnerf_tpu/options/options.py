@@ -341,10 +341,16 @@ def configs_from_opt(opt):
     def _resolve_attr_dedup(ad: int) -> int:
         if ad >= 0:
             return ad
+        if ad != -1:
+            raise ValueError(
+                f"--attr_dedup must be -1 (auto) or >= 0, got {ad}")
         import jax
         # auto: the dedup'd two-level gather pays on big tables/raster
         # chunks (probe_attr4: 39 vs 85 ms at 4.2M); CPU tests keep the
-        # plain gather (the einsum path is slow in interpret-scale runs)
+        # plain gather (the einsum path is slow in interpret-scale runs).
+        # NOTE: auto consults jax.default_backend() at CONFIG-BUILD time —
+        # select the backend (jax.config.update("jax_platforms", ...))
+        # BEFORE calling configs_from_opt, or pass an explicit value.
         return 512 if jax.default_backend() != "cpu" else 0
 
     fused = getattr(opt, "fused_mlp", "auto")

@@ -394,8 +394,9 @@ def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
         points_label_prob=cloud.label_prob if use_sem else None,
         key=ks, semantic_guidance=use_sem)
     (decoded, ray_valid, weight, conf_coefficient, sample_loc,
-     _) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
-                               sample_loc_w, campos, raydir, camrotc2w)
+     sampled) = gather_and_aggregate(params, cloud, cfg, sample_pidx,
+                                     sample_loc_w, campos, raydir, camrotc2w,
+                                     is_train=is_train)
     ownf = own.astype(decoded.dtype)
     decoded = decoded * ownf[..., None]
     weight = weight * ownf[..., None]
@@ -430,6 +431,16 @@ def _forward_local(params, cloud, occ_mask, dil_slot, nbr_packed, x_off,
         "weight": jax.lax.stop_gradient(weight),
         "blend_weight": jax.lax.stop_gradient(blend_weight),
         "conf_coefficient": conf_coefficient,
+        # eval attr_dedup overflow, summed over shards (each shard counts
+        # only its owned rows, so the psum is the global count) — surfaced
+        # so --scene_shards renders get the same exactness guarantee as the
+        # non-spatial path (overflowed chunks re-render via plain gather)
+        **({"attr_dedup_overflow": jax.lax.psum(
+            sampled["attr_dedup_overflow"], "data")}
+           if "attr_dedup_overflow" in sampled else {}),
+        **({"gvjp_overflow": jax.lax.psum(
+            sampled["gvjp_overflow"], "data")}
+           if "gvjp_overflow" in sampled else {}),
     }
 
 
@@ -553,6 +564,9 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
                 zero_one_loss_weights=tcfg.zero_one_loss_weights,
                 sparse_loss_weight=tcfg.sparse_loss_weight,
                 zero_epsilon=tcfg.zero_epsilon)
+            if "gvjp_overflow" in out:
+                losses = dict(losses, gvjp_overflow=jax.lax.stop_gradient(
+                    out["gvjp_overflow"]).astype(jnp.float32))
             return total, losses
 
         pts = _point_subtree(cloud)

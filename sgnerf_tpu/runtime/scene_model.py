@@ -67,7 +67,7 @@ def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
             return (out["coarse_raycolor"],        # (B, Rc, 3)
                     out.get("attr_dedup_overflow", jnp.asarray(0)))
         cols, over = jax.lax.map(one, raydirs)
-        return cols, jnp.sum(over)
+        return cols, over                          # over: (G,) per-chunk
 
     return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
               pspec)
@@ -647,6 +647,7 @@ class SceneModel:
         far = jnp.asarray(item["far"])
         bg = jnp.asarray(item["bg_color"])
         overs = []
+        groups = []
         for s in range(0, len(raydir_p), group):
             rds = jnp.asarray(
                 raydir_p[s:s + group].reshape(G, B, chunk_rays, 3))
@@ -657,19 +658,39 @@ class SceneModel:
                 rot, near, far, bg, pspec=self.pspec)
             cols.append(c)
             overs.append(over)
+            groups.append(rds)
             # results stay on-device: dispatches pipeline, so device compute
             # of group i overlaps the enqueue of group i+1
-        col = np.concatenate([np.asarray(c).reshape(-1, 3)
-                              for c in cols])[:R]
         if self.cfg.attr_dedup > 0:
-            n_over = int(sum(int(o) for o in overs))
+            # exactness contract: a tile with more than --attr_dedup
+            # distinct ids degrades its rows to "no neighbor" inside the
+            # dedup'd gather — instead of shipping a warned-but-wrong
+            # image, re-render any overflowed dispatch group through the
+            # plain gather (exact under ALL inputs; one extra dispatch for
+            # a rare case, VERDICT-r3 item 5)
+            n_over = 0
+            cfg_plain = None
+            for i, over in enumerate(overs):
+                gi = int(jnp.sum(over))
+                if gi == 0:
+                    continue
+                n_over += gi
+                if cfg_plain is None:
+                    cfg_plain = dataclasses.replace(self.cfg, attr_dedup=0)
+                c, _ = _render_chunk_group(
+                    st.params, st.cloud, self.grid, cfg_plain, campos,
+                    groups[i], rot, near, far, bg, pspec=self.pspec)
+                cols[i] = c
             if n_over > 0 and not getattr(self, "_warned_attr_over", False):
                 print(f"[render] attr-dedup overflow: {n_over} neighbor "
                       f"rows exceeded --attr_dedup {self.cfg.attr_dedup} "
-                      "distinct ids per tile and were dropped; raise "
-                      "--attr_dedup (or set 0 for the plain gather)",
+                      "distinct ids per tile; the affected chunk groups "
+                      "were re-rendered exactly through the plain gather "
+                      "(raise --attr_dedup to avoid the extra dispatches)",
                       flush=True)
                 self._warned_attr_over = True
+        col = np.concatenate([np.asarray(c).reshape(-1, 3)
+                              for c in cols])[:R]
         return col
 
     def _render_image_spatial(self, item, raydir, chunk_rays):
@@ -677,8 +698,8 @@ class SceneModel:
         from ..parallel import render_rays_spatial
         import functools
 
-        if chunk_rays not in self._spatial_fns:
-            cfg, sspec, mesh = self.cfg, self.sspec, self.mesh
+        def make_go(cfg):
+            sspec, mesh = self.sspec, self.mesh
 
             @jax.jit
             def go(params, scene, campos, rd, rot, near, far, bg):
@@ -686,8 +707,12 @@ class SceneModel:
                     params, scene, sspec, cfg, mesh, campos=campos,
                     raydir=rd, camrotc2w=rot, near=near, far=far,
                     bg_color=bg)
-                return out["coarse_raycolor"][0]
-            self._spatial_fns[chunk_rays] = go
+                return (out["coarse_raycolor"][0],
+                        out.get("attr_dedup_overflow", jnp.asarray(0)))
+            return go
+
+        if chunk_rays not in self._spatial_fns:
+            self._spatial_fns[chunk_rays] = make_go(self.cfg)
         go = self._spatial_fns[chunk_rays]
 
         R = len(raydir)
@@ -703,8 +728,34 @@ class SceneModel:
                   if self._spatial_tstate is not None else self.state.params)
         scene = (self._spatial_tstate.scene
                  if self._spatial_tstate is not None else self.sharded_scene)
-        cols = [go(params, scene, campos,
+        outs = [go(params, scene, campos,
                    jnp.asarray(raydir_p[s:s + chunk_rays][None]), rot,
                    near, far, bg)
                 for s in range(0, len(raydir_p), chunk_rays)]
+        cols = [c for c, _ in outs]
+        if self.cfg.attr_dedup > 0:
+            # same exactness contract as the non-spatial path: re-render
+            # overflowed chunks through the plain gather
+            n_over = 0
+            go_plain = None
+            for i, (_, over) in enumerate(outs):
+                oi = int(over)
+                if oi == 0:
+                    continue
+                n_over += oi
+                if go_plain is None:
+                    go_plain = self._spatial_fns.setdefault(
+                        ("plain", chunk_rays),
+                        make_go(dataclasses.replace(self.cfg, attr_dedup=0)))
+                s = i * chunk_rays
+                cols[i], _ = go_plain(
+                    params, scene, campos,
+                    jnp.asarray(raydir_p[s:s + chunk_rays][None]), rot,
+                    near, far, bg)
+            if n_over > 0 and not getattr(self, "_warned_attr_over", False):
+                print(f"[render] attr-dedup overflow: {n_over} neighbor "
+                      f"rows exceeded --attr_dedup {self.cfg.attr_dedup}; "
+                      "overflowed chunks re-rendered exactly via the plain "
+                      "gather", flush=True)
+                self._warned_attr_over = True
         return np.concatenate([np.asarray(c) for c in cols])[:R]

@@ -432,3 +432,56 @@ def test_sharded_render_with_attr_dedup_matches(scene):
     np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
                                np.asarray(base["coarse_raycolor"]),
                                atol=1e-5)
+    # the overflow counter rides the output dict (psummed over shards);
+    # generous cap -> 0, tiny cap -> nonzero so _render_image_spatial can
+    # re-render the chunk exactly via the plain gather
+    assert int(out["attr_dedup_overflow"]) == 0
+    cfg3 = dataclasses.replace(cfg, attr_dedup=1, attr_tile=8)
+    out3 = render_rays_spatial(params, sharded, sspec, cfg3, mesh,
+                               campos=campos, raydir=raydir, camrotc2w=rot,
+                               near=1.0, far=5.0, bg_color=bg)
+    assert int(out3["attr_dedup_overflow"]) > 0
+
+
+def test_spatial_train_step_ignores_attr_dedup(scene):
+    """ADVICE-r3 (high): slab-sharded TRAINING must never route through the
+    lossy eval-only attr_dedup gather (it used to, via the `key is None`
+    inference — TPU auto-default attr_dedup=512 + random training tiles
+    overflowing the cap silently corrupted gradients). The training
+    gradients with a pathologically tiny cap must be IDENTICAL to the
+    attr_dedup=0 gradients."""
+    import dataclasses
+    import jax
+    from sgnerf_tpu.models.train import TrainConfig
+    from sgnerf_tpu.parallel.spatial import (create_spatial_train_state,
+                                             spatial_train_step)
+
+    cloud, spec, grid, cfg, params = scene
+    tcfg = TrainConfig()
+    campos, raydir, rot = _rays(128, seed=23)
+    rng = np.random.default_rng(9)
+    batch = {
+        "campos": campos, "raydir": raydir, "camrotc2w": rot,
+        "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0, 1, size=(1, 128, 3)).astype(np.float32)),
+    }
+    key = jax.random.key(6)
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(cloud, spec, mesh.devices.size)
+    sharded = shard_scene_put(sharded, mesh)
+
+    grads = {}
+    for name, ad in (("plain", 0), ("dedup", 2)):
+        cfg2 = dataclasses.replace(cfg, attr_dedup=ad, attr_tile=8)
+        sst = create_spatial_train_state(params, sharded, tcfg)
+        _, losses, (g_net, g_pts) = spatial_train_step(
+            sst, sspec, cfg2, tcfg, batch, key, mesh, return_grads=True)
+        grads[name] = (float(losses["total"]), g_net, g_pts)
+
+    assert grads["plain"][0] == grads["dedup"][0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        grads["plain"][1:], grads["dedup"][1:])

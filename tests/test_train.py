@@ -224,3 +224,35 @@ def test_train_step_fused_pallas_bwd_matches_xla_bwd():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6),
         st_xla.params, st_pal.params)
+
+
+def test_raydedup_overflow_surfaces_in_losses(setup):
+    """ADVICE-r3: gather_vjp='raydedup' silently drops gradient rows past
+    gvjp_U distinct ids per tile; the forward now counts them and rides the
+    count through the losses dict so training loops/prints expose it."""
+    import dataclasses
+    cloud, grid, cfg, params = setup
+    tcfg = TrainConfig()
+    batch = _batch()
+
+    # generous U: diagnostic present and zero
+    cfg_ok = dataclasses.replace(cfg, gather_vjp="raydedup",
+                                 gvjp_U=cfg.SR * cfg.K)
+    # train_step donates state (cloud AND params), so copy both per state
+    fresh = lambda t: jax.tree.map(jnp.copy, t)
+    st = create_train_state(fresh(params), fresh(cloud), tcfg)
+    st, losses = train_step(st, grid, cfg_ok, tcfg, batch, jax.random.key(1))
+    assert "gvjp_overflow" in losses
+    assert float(losses["gvjp_overflow"]) == 0.0
+
+    # tiny U: the count goes nonzero (a lossy config is visible, not silent)
+    cfg_bad = dataclasses.replace(cfg, gather_vjp="raydedup", gvjp_U=1)
+    st2 = create_train_state(fresh(params), fresh(cloud), tcfg)
+    st2, losses2 = train_step(st2, grid, cfg_bad, tcfg, batch,
+                              jax.random.key(1))
+    assert float(losses2["gvjp_overflow"]) > 0
+
+    # the default scatter transpose carries no diagnostic
+    st3 = create_train_state(fresh(params), fresh(cloud), tcfg)
+    _, losses3 = train_step(st3, grid, cfg, tcfg, batch, jax.random.key(1))
+    assert "gvjp_overflow" not in losses3
