@@ -115,13 +115,15 @@ def main():
     # hold <=491 distinct point ids per 64-ray tile at 4.2M, so each tile
     # gathers its distinct rows once and reconstructs via one-hot MXU
     # (probe_attr4: 39.4 vs 84.8 ms for the attr stage, exact)
+    attr_dedup = int(os.environ.get(
+        "SGNERF_BENCH_ATTR_DEDUP", "0" if random_chunks else "512"))
     cfg = RenderConfig(agg=AggregatorConfig(compute_dtype="bfloat16",
                                             fused_mlp="pallas"),
                        z_depth_dim=400, SR=24, K=8,
                        vsize=(0.008, 0.008, 0.008),
                        gather_dtype="bfloat16",
                        knn_mode="fused",
-                       attr_dedup=512)
+                       attr_dedup=attr_dedup)
     # fallback ladder: if a toolchain change rejects the Pallas kernels,
     # drop to the pure-XLA path rather than recording nothing
     import dataclasses
@@ -141,9 +143,20 @@ def main():
     # chunks were an artificially adversarial access pattern no entry
     # point produces. Cameras vary per chunk (no backend memoization).
     H, W_img, FL = 480, 640, 580.0
+    # SGNERF_BENCH_RANDOM_CHUNKS=1: the pre-round-3 workload (random ray
+    # directions per chunk — an access pattern no entry point produces;
+    # attr_dedup tiles overflow on it, so also set SGNERF_BENCH_ATTR_DEDUP=0)
+    # kept so round-over-round BENCH deltas stay comparable (VERDICT-r3
+    # weak #1 / next #9)
+    random_chunks = os.environ.get("SGNERF_BENCH_RANDOM_CHUNKS") == "1"
 
     def mk_raydir(i):
         r = np.random.default_rng(100 + i)
+        if random_chunks:
+            d = (r.normal(size=(R, 3)) * 0.25).astype(np.float32)
+            d[:, 2] = 1.0
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            return jnp.asarray(d[None])
         row0 = int(r.integers(0, H - 16))
         ys, xs = np.meshgrid(np.arange(row0, row0 + 15), np.arange(W_img),
                              indexing="ij")

@@ -24,6 +24,7 @@ TPU-first deltas:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -138,16 +139,14 @@ def prune(cloud: NeuralPointCloud, thresh: float) -> NeuralPointCloud:
     )
 
 
-def grow(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
-         new_color, new_dir) -> NeuralPointCloud:
-    """Append G new points into padding slots (reference `grow_points`,
-    :546-572). Caller must ensure n_active + G <= capacity (re-allocate
-    host-side with a larger capacity otherwise)."""
-    g = new_xyz.shape[0]
+@partial(jax.jit, donate_argnums=(0,))
+def _grow_jit(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
+              new_color, new_dir, g) -> NeuralPointCloud:
+    gb = new_xyz.shape[0]
     start = cloud.n_active
-    idx = start + jnp.arange(g, dtype=jnp.int32)
-    ok = idx < cloud.capacity
-    idx = jnp.where(ok, idx, cloud.capacity - 1)
+    k = jnp.arange(gb, dtype=jnp.int32)
+    ok = (k < g) & (start + k < cloud.capacity)
+    idx = jnp.where(ok, start + k, cloud.capacity - 1)
 
     def put(dst, src):
         src = jnp.asarray(src, dst.dtype)
@@ -163,6 +162,34 @@ def grow(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
         active=cloud.active.at[idx].set(ok | cloud.active[idx]),
         n_active=(start + jnp.sum(ok)).astype(jnp.int32),
     )
+
+
+def grow(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
+         new_color, new_dir) -> NeuralPointCloud:
+    """Append G new points into padding slots (reference `grow_points`,
+    :546-572). Caller must ensure n_active + G <= capacity (re-allocate
+    host-side with a larger capacity otherwise).
+
+    ONE jitted dispatch with the cloud DONATED: every attribute buffer
+    updates in place (eager .at[].set was 7 separate dispatches, each
+    copying its full multi-GB buffer through the runtime — the "~19 s
+    host-side concat" in the round-3 grow probe). G pads to a 4096 bucket
+    so repeated grows share one compile."""
+    g = int(np.asarray(new_xyz).shape[0])
+    gb = max(4096, (g + 4095) // 4096 * 4096)
+
+    def padded(a, w):
+        a = np.asarray(a, np.float32).reshape(g, -1)
+        assert a.shape[1] == w, (a.shape, w)
+        if gb == g:
+            return jnp.asarray(a)
+        return jnp.asarray(np.concatenate(
+            [a, np.zeros((gb - g, w), np.float32)]))
+
+    return _grow_jit(cloud, padded(new_xyz, 3), padded(new_embedding,
+                                                       cloud.embedding.shape[-1]),
+                     padded(new_conf, 1), padded(new_color, 3),
+                     padded(new_dir, 3), jnp.asarray(g, jnp.int32))
 
 
 def set_bpnet_feats(cloud: NeuralPointCloud, label_prob, label,

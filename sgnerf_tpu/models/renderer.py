@@ -238,6 +238,39 @@ def dedup_tile_gather(packed: jnp.ndarray, pid: jnp.ndarray,
             hit.reshape(B, R, SR, K))
 
 
+@jax.custom_vjp
+def gather_rows_int8(table, idx, active):
+    """Training-forward attribute gather through a per-channel affine int8
+    quantization of the table (straight-through estimator).
+
+    Forward: quantize the f32 master to int8 (per-channel scale/zero from
+    ACTIVE rows — ops/quant.quantize_table_int8), gather int8 rows (half
+    the bf16 table bytes; the gather is table-byte-bound, probe_attr2),
+    dequantize to f32 after the gather. Backward: identical to the shipped
+    bf16 path's transpose — bf16 cotangent scatter-add + one dense upcast —
+    so the A/B isolates the FORWARD gather (VERDICT-r3 item 2). The f32
+    master is untouched; gradients apply to it."""
+    from ..ops.quant import quantize_table_int8
+    q, scale, zero = quantize_table_int8(table, active)
+    return q[idx].astype(jnp.float32) * scale + zero
+
+
+def _gather_rows_int8_fwd(table, idx, active):
+    return gather_rows_int8(table, idx, active), (idx, table.shape[0])
+
+
+def _gather_rows_int8_bwd(res, g):
+    idx, n = res
+    flat_idx = idx.reshape(-1)
+    C = g.shape[-1]
+    flat_g = g.reshape(-1, C).astype(jnp.bfloat16)
+    dt = jnp.zeros((n, C), jnp.bfloat16).at[flat_idx].add(flat_g)
+    return dt.astype(jnp.float32), None, None
+
+
+gather_rows_int8.defvjp(_gather_rows_int8_fwd, _gather_rows_int8_bwd)
+
+
 def make_gather_rows_spread(J: int, K: int):
     """gather whose transpose spreads the scatter over J table copies.
 
@@ -304,7 +337,11 @@ class RenderConfig:
     #                                  the world-coords path never applies
     #                                  it): "uniform" | "gaussian" | off
     gather_dtype: str = "float32"    # "bfloat16" halves attribute-gather
-    #                                  traffic (compute stays f32)
+    #                                  traffic (compute stays f32); "int8"
+    #                                  quarter-width per-channel affine
+    #                                  quantization for the TRAINING forward
+    #                                  gather only (gather_rows_int8; eval
+    #                                  renders fall back to bf16)
     compute_depth: int = 0           # emit coarse_depth (alpha-blend-weighted
     #                                  mean sample depth). The reference gates
     #                                  this on compute_depth OR depth_loss_items
@@ -438,7 +475,12 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
     packed = jnp.concatenate(
         [cloud.xyz, cloud.embedding, cloud.color, cloud.dir, cloud.conf]
         + ([cloud.sem_embedding] if cfg.semantic_guidance else []), axis=-1)
-    if cfg.gather_dtype == "bfloat16":
+    # int8 is a TRAINING-forward option (gather is table-byte-bound; the
+    # raster-only tile-dedup cannot apply to random training rays); eval
+    # renders under gather_dtype=int8 use the bf16 table for quality
+    use_int8 = cfg.gather_dtype == "int8" and is_train
+    if cfg.gather_dtype == "bfloat16" or (cfg.gather_dtype == "int8"
+                                          and not is_train):
         if cfg.gather_round == "stochastic" and key is not None:
             # train-time: unbiased quantization of the attribute table
             # (E[table] == f32 master) so optimizing through the bf16
@@ -491,8 +533,12 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
                 gvjp_overflow = dedup_overflow_count(pid, T_rows, cfg.gvjp_U)
         else:
             take = lambda t, i: t[i]
-        g = jax.lax.optimization_barrier(
-            take(packed, pid)).astype(jnp.float32)
+        if use_int8:
+            g = jax.lax.optimization_barrier(
+                gather_rows_int8(packed, pid, cloud.active))
+        else:
+            g = jax.lax.optimization_barrier(
+                take(packed, pid)).astype(jnp.float32)
     sampled_xyz = g[..., 0:3]
     sampled_embedding = g[..., 3:3 + F]
     sampled_color = g[..., 3 + F:6 + F]

@@ -48,3 +48,31 @@ def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     xs = jax.lax.stop_gradient(x)
     return (x + jax.lax.stop_gradient(_sr_bits(xs, key) - xs)).astype(
         jnp.bfloat16)
+
+
+def quantize_table_int8(x: jnp.ndarray, mask: jnp.ndarray):
+    """Per-channel affine int8 quantization of an attribute table.
+
+    x: (N, C) f32; mask: (N,) bool — channel ranges come from masked rows
+    only (capacity padding carries 1e9 sentinels that would destroy the
+    scales). Returns (q (N,C) int8, scale (C,) f32, zero (C,) f32) with
+    dequant(q) = q * scale + zero. No gradient (pure stop-gradient helper;
+    the caller's custom_vjp routes cotangents to the f32 master).
+
+    Motivation (PERFORMANCE.md probe_attr2): the per-row gather rate tracks
+    TABLE BYTES — int8x42 (176 MB at 4.2M points) gathers at 54.0 ms vs
+    bf16x42 (353 MB) at 89.9 ms for the same 1.77M rows. Training batches
+    are random rays, so the raster-only tile-dedup gather cannot apply;
+    byte width is the remaining lever on the training forward gather."""
+    xs = jax.lax.stop_gradient(x)
+    m = mask[:, None]
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    lo = jnp.min(jnp.where(m, xs, big), axis=0)
+    hi = jnp.max(jnp.where(m, xs, -big), axis=0)
+    ok = hi >= lo                       # all-masked channel -> degenerate
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    scale = jnp.maximum(hi - lo, 1e-12) / 254.0
+    zero = (hi + lo) * 0.5
+    q = jnp.clip(jnp.round((xs - zero) / scale), -127, 127).astype(jnp.int8)
+    return q, scale, zero

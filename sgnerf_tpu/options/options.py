@@ -326,10 +326,14 @@ def configs_from_opt(opt):
     from ..models.renderer import RenderConfig
     from ..models.train import TrainConfig
 
-    for f in ("gather_dtype", "compute_dtype"):
-        v = getattr(opt, f)
-        if v not in ("float32", "bfloat16"):
-            raise ValueError(f"--{f} must be float32 or bfloat16, got {v!r}")
+    if opt.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError("--compute_dtype must be float32 or bfloat16, "
+                         f"got {opt.compute_dtype!r}")
+    if opt.gather_dtype not in ("float32", "bfloat16", "int8"):
+        # int8: per-channel affine-quantized TRAINING forward gather
+        # (renderer.gather_rows_int8); eval renders fall back to bf16
+        raise ValueError("--gather_dtype must be float32/bfloat16/int8, "
+                         f"got {opt.gather_dtype!r}")
     gr = getattr(opt, "gather_round", "nearest")
     if gr not in ("nearest", "stochastic"):
         raise ValueError(

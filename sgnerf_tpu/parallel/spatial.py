@@ -108,21 +108,20 @@ def _round_up(v: int, b: int) -> int:
     return max(b, ((v + b - 1) // b) * b)
 
 
-def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
-                        n_shards: int, *, pts_bucket: int = 4096,
-                        vox_bucket: int = 8192):
-    """Decompose `cloud` into n_shards X-slabs and build per-slab grids.
+def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
+                       gspec: GridSpec, n_shards: int, capacity: int, *,
+                       pts_bucket: int = 4096, vox_bucket: int = 8192):
+    """Host-side (numpy) slab planning: per-shard point selection and
+    capacity sizing, WITHOUT building any device tables. Used by
+    build_sharded_scene and by the deviceless AOT memory proof
+    (dev_scripts/probe_spatial_aot_42m.py / tests/test_mosaic_aot.py),
+    which needs the production SpatialSpec but not the 2.5 GB of tables.
 
-    Host-side (numpy) slab selection; per-slab grid/cache builds run the
-    same jitted programs as the replicated path (one compile each — every
-    shard shares one static local spec). Capacities are maxima over shards,
-    bucketed to bound recompiles across scenes.
-
-    Returns (ShardedScene, SpatialSpec).
-    """
+    Returns (SpatialSpec, sels) where sels[i] are the global point indices
+    of shard i (halo included)."""
     assert gspec.nbr_cache > 0, "sharded rendering requires the nbr cache"
-    xyz = np.asarray(cloud.xyz)
-    active = np.asarray(cloud.active)
+    xyz = np.asarray(xyz)
+    active = np.asarray(active)
     X, Y, Z = gspec.vdim
     vsx = gspec.vsize[0]
     minx = gspec.min_corner[0]
@@ -168,9 +167,32 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
     max_o_s = _round_up(max(occ_counts), vox_bucket)
     max_d_s = _round_up(max(dil_counts), vox_bucket)
 
-    sspec = SpatialSpec(gspec=gspec, n_shards=n_shards, slab_w=slab_w,
-                        halo=halo, cap_pts=cap_pts, max_o_s=max_o_s,
-                        max_d_s=max_d_s, n_global=cloud.capacity)
+    return SpatialSpec(gspec=gspec, n_shards=n_shards, slab_w=slab_w,
+                       halo=halo, cap_pts=cap_pts, max_o_s=max_o_s,
+                       max_d_s=max_d_s, n_global=capacity), sels
+
+
+def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
+                        n_shards: int, *, pts_bucket: int = 4096,
+                        vox_bucket: int = 8192):
+    """Decompose `cloud` into n_shards X-slabs and build per-slab grids.
+
+    Host-side (numpy) slab selection (plan_sharded_scene); per-slab
+    grid/cache builds run the same jitted programs as the replicated path
+    (one compile each — every shard shares one static local spec).
+    Capacities are maxima over shards, bucketed to bound recompiles across
+    scenes.
+
+    Returns (ShardedScene, SpatialSpec).
+    """
+    sspec, sels = plan_sharded_scene(
+        cloud.xyz, cloud.active, gspec, n_shards, cloud.capacity,
+        pts_bucket=pts_bucket, vox_bucket=vox_bucket)
+    X, _, _ = gspec.vdim
+    vsx = gspec.vsize[0]
+    slab_w, halo = sspec.slab_w, sspec.halo
+    cap_pts = sspec.cap_pts
+    max_d_s = sspec.max_d_s
     lspec = sspec.lspec
 
     def slab_cloud(i: int) -> NeuralPointCloud:

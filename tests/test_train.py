@@ -256,3 +256,68 @@ def test_raydedup_overflow_surfaces_in_losses(setup):
     st3 = create_train_state(fresh(params), fresh(cloud), tcfg)
     _, losses3 = train_step(st3, grid, cfg, tcfg, batch, jax.random.key(1))
     assert "gvjp_overflow" not in losses3
+
+
+def test_train_step_with_int8_gather_learns():
+    """Training THROUGH the int8-quantized attribute gather (VERDICT-r3
+    item 2): the STE passes f32 cotangents to the master, losses stay
+    finite and decrease, and frozen xyz still never moves."""
+    import dataclasses
+    rng = np.random.default_rng(3)
+    n = 1200
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    emb = rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+    cloud = make_point_cloud(xyz, emb, color=(xyz * .5 + .5), dir=xyz,
+                             capacity=1536)
+    spec = grid_spec_for_cloud(cloud, vsize=[0.08] * 3, vscale=[1, 1, 1],
+                               kernel_size=[3, 3, 3], max_o=8192, P=16)
+    grid = build_grid(cloud, spec)
+    cfg = RenderConfig(agg=AggregatorConfig(), z_depth_dim=64, SR=8, K=4,
+                       vsize=(0.08, 0.08, 0.08), gather_dtype="int8")
+    params = init_aggregator_params(jax.random.key(0), cfg.agg)
+    tcfg = TrainConfig(lr=2e-3, plr=5e-3, lr_decay_iters=10**9)
+    st = create_train_state(params, cloud, tcfg)
+    batch = _batch(seed=9)
+    key = jax.random.key(11)
+    first = None
+    emb0 = np.asarray(st.cloud.embedding).copy()
+    for i in range(25):
+        key, k = jax.random.split(key)
+        st, losses = train_step(st, grid, cfg, tcfg, batch, k)
+        if first is None:
+            first = float(losses["ray_masked_coarse_raycolor"])
+    last = float(losses["ray_masked_coarse_raycolor"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
+    # the gradient reached the f32 master through the STE
+    assert np.abs(np.asarray(st.cloud.embedding) - emb0).sum() > 0
+
+
+def test_gather_rows_int8_forward_and_vjp():
+    """gather_rows_int8: forward within one quantization step of the exact
+    gather; backward == the bf16-scatter transpose of a plain gather."""
+    from sgnerf_tpu.models.renderer import gather_rows_int8
+    rng = np.random.default_rng(7)
+    n, C = 300, 6
+    table = jnp.asarray(rng.normal(size=(n, C)).astype(np.float32))
+    # padding rows carry sentinels that must not pollute the scales
+    table = table.at[250:].set(1e9)
+    active = jnp.asarray(np.arange(n) < 250)
+    idx = jnp.asarray(rng.integers(0, 250, size=(4, 8)), jnp.int32)
+    got = np.asarray(gather_rows_int8(table, idx, active))
+    ref = np.asarray(table[idx])
+    span = (np.asarray(table[:250]).max(0) - np.asarray(table[:250]).min(0))
+    np.testing.assert_allclose(got, ref, atol=float(span.max()) / 254 + 1e-6)
+
+    cot = jnp.asarray(rng.normal(size=(4, 8, C)).astype(np.float32))
+    g1 = jax.grad(lambda t: jnp.sum(gather_rows_int8(t, idx, active) * cot)
+                  )(table)
+    # reference: scatter-add of bf16 cotangents, upcast once (the shipped
+    # bf16 path's transpose)
+    flat = np.zeros((n, C), np.float32)
+    cot_b = np.asarray(cot.astype(jnp.bfloat16))
+    acc = jnp.zeros((n, C), jnp.bfloat16).at[idx.reshape(-1)].add(
+        jnp.asarray(cot_b.reshape(-1, C)))
+    np.testing.assert_array_equal(np.asarray(g1),
+                                  np.asarray(acc.astype(jnp.float32)))
