@@ -136,4 +136,42 @@ run("train_ft.py", ["--name", "tpu_sem", "--data_root", data,
                     "--semantic_guidance", "1", "--classes", "20",
                     "--layers_2d", "18", "--bpnet_refresh_every", "2"]
     + COMMON)
+
+# editing on the real backend with a PER-PART ROTATION (the per-neighbor
+# Rw2c table gather + composed transform — VERDICT-r3 item 6; reference
+# run/editing.py:123-237)
+rot_txt = os.path.join(tmp, "ckpt", "tpu_smoke", "rot.txt")
+th = 0.4
+np.savetxt(rot_txt, np.array(
+    [[np.cos(th), -np.sin(th), 0, 0.05], [np.sin(th), np.cos(th), 0, 0],
+     [0, 0, 1, 0], [0, 0, 0, 1]], np.float32))
+run("editing.py", ["--name", "tpu_smoke", "--data_root", data,
+                   "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                   "--resume_iter", "latest",
+                   "--resume_dir", os.path.join(tmp, "ckpt", "tpu_smoke"),
+                   "--neural_points_names", "8_net_ray_marching.pth",
+                   "--Transformation_names", "rot.txt",
+                   "--render_stride", "6", "--test_num", "1"] + COMMON)
+
+# feed-forward training (run/train.py: MVS nets generate the cloud INSIDE
+# the autograd graph; MVSNet + premlp + aggregator train jointly)
+run("train.py", ["--name", "tpu_ff", "--data_root", data,
+                 "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                 "--maximum_step", "4", "--save_iter_freq", "4",
+                 "--print_freq", "2", "--feedforward", "1"]
+    + [a for a in COMMON] + ["--ranges", "-3", "-3", "-3", "3", "3", "3",
+                             "--color_loss_items", "coarse_raycolor",
+                             "--color_loss_weights", "1.0"])
+
+# MVS bootstrap branch B (train_ft --load_points 0: MVSNet depth
+# inference -> cross-view filter -> per-view embedding; random-init nets,
+# so the confidence/consistency filters are relaxed to keep points)
+run("train_ft.py", ["--name", "tpu_mvs", "--data_root", data,
+                    "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                    "--maximum_step", "2", "--save_iter_freq", "2",
+                    "--test_freq", "0", "--print_freq", "1",
+                    "--test_num", "0", "--load_points", "0",
+                    "--manual_depth_view", "1", "--init_view_num", "3",
+                    "--depth_grid", "32", "--depth_conf_thresh", "0.0",
+                    "--geo_cnsst_num", "0"] + COMMON)
 print("TPU CLI SMOKE OK")

@@ -386,8 +386,17 @@ class MvsPointsModel:
             vol_sq = vol_sq + warped ** 2
         variance = vol_sq / V - (vol_sum / V) ** 2       # (D,h,w,32)
 
-        cost = official_cost_reg_apply(p["cost_regularization"],
-                                       variance[None])[0, ..., 0]  # (D,h,w)
+        # CostRegNet's three stride-2 levels + transpose convs need every
+        # spatial dim divisible by 8; real MVSNet inputs are (the reference
+        # feeds H,W multiples of 32 and D=128) but small/odd probe scenes
+        # are not — zero-pad up front, crop the regularized volume after
+        # (no-op at production shapes, so converted checkpoints are
+        # untouched)
+        pads = [(-s) % 8 for s in (D, h, w)]
+        var_p = jnp.pad(variance, [(0, pads[0]), (0, pads[1]),
+                                   (0, pads[2]), (0, 0)])
+        cost = official_cost_reg_apply(
+            p["cost_regularization"], var_p[None])[0, :D, :h, :w, 0]
         prob = jax.nn.softmax(cost, axis=0)
         depth = jnp.sum(prob * dvals, axis=0)
         # photometric confidence: 4-tap prob sum around the regressed index

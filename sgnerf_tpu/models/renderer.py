@@ -164,6 +164,66 @@ def make_gather_rows_dedup(T_rows: int, U: int):
     return gather
 
 
+def make_gather_rows_batchdedup(U_cap: int):
+    """Gather whose transpose aggregates the WHOLE BATCH's duplicate
+    cotangent rows before touching the big table.
+
+    4.2M split (probe_bwd_split_42m): the pts-grad transpose is 46.8 ms of
+    the 68.4 ms step — a 196k-row scatter-add into the 4.2M-row bf16 table.
+    A 1024-ray batch's 196k neighbor rows hold only ~74k distinct ids, and
+    probe_scatter_size measured the staged transpose (sort -> distinct
+    ranks -> compact f32 scatter -> ONE U_cap-row scatter into the big
+    table) at 55.6 ms vs 75.0 isolated. Unlike raydedup (per-ray tiles,
+    U<=192 loses exactness at 4.2M), the dedup domain here is the full
+    batch, so U_cap carries a ~1.8x margin over the observed distinct
+    count and overflow is DETECTED (n_uniq - U_cap rows drop, count
+    surfaced via `gvjp_overflow` in the losses dict — keep it 0).
+
+    Bonus: within-batch duplicates accumulate in f32 (the plain transpose
+    scatter-adds every row in bf16)."""
+
+    @jax.custom_vjp
+    def gather(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], (idx, table.shape[0])
+
+    def bwd(res, g):
+        idx, n = res
+        C = g.shape[-1]
+        flat_idx = idx.reshape(-1)
+        flat_g = g.reshape(-1, C).astype(jnp.float32)
+        s = jnp.sort(flat_idx)
+        first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+        n_uniq = rank_sorted[-1] + 1
+        # uniq[r] = the id with rank r (duplicate writes carry equal values)
+        uniq = jnp.full((U_cap,), n, jnp.int32).at[rank_sorted].set(
+            s, mode="drop")
+        # rank of each ORIGINAL row (uniq ascending by construction; slots
+        # past n_uniq hold the sentinel n > every id)
+        rank = jnp.searchsorted(uniq, flat_idx)
+        compact = jnp.zeros((U_cap, C), jnp.float32).at[rank].add(
+            flat_g, mode="drop")
+        dt = jnp.zeros((n, C), g.dtype).at[uniq].add(
+            compact.astype(g.dtype), mode="drop")
+        return dt, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def batchdedup_overflow_count(sample_pidx: jnp.ndarray,
+                              U_cap: int) -> jnp.ndarray:
+    """Distinct ids beyond gather_vjp='batchdedup's U_cap (their gradient
+    rows drop). Forward-side diagnostic — keep it 0."""
+    s = jnp.sort(jnp.clip(sample_pidx.reshape(-1), 0, None))
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    n_uniq = jnp.sum(first.astype(jnp.int32))
+    return jnp.maximum(n_uniq - U_cap, 0)
+
+
 def dedup_overflow_count(sample_pidx: jnp.ndarray, T_rows: int,
                          U: int) -> jnp.ndarray:
     """Number of neighbor rows whose gradient the dedup'd transpose would
@@ -373,6 +433,12 @@ class RenderConfig:
     #                                  the max 57 measured at the canonical
     #                                  train config; dedup_overflow_count
     #                                  diagnoses a too-small U)
+    gvjp_batch_U: int = 0            # gather_vjp="batchdedup": distinct-id
+    #                                  slots for the WHOLE batch (0 = auto
+    #                                  2/3 of the row count — ~1.8x the
+    #                                  ~74k distinct ids of a 1024-ray
+    #                                  batch at 4.2M); overflow drops rows
+    #                                  and is surfaced via gvjp_overflow
     attr_dedup: int = 0              # EVAL renders: distinct-id slots per
     #                                  attr-dedup tile (dedup_tile_gather);
     #                                  0 = plain gather. For RASTER chunks
@@ -520,6 +586,12 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
             take = gather_rows_f32acc
         elif cfg.gather_vjp == "spread":
             take = make_gather_rows_spread(cfg.spread_J, cfg.K)
+        elif cfg.gather_vjp == "batchdedup":
+            rows = B * R * cfg.SR * cfg.K
+            U_cap = cfg.gvjp_batch_U or max(4096, rows * 2 // 3)
+            take = make_gather_rows_batchdedup(U_cap)
+            if is_train:
+                gvjp_overflow = batchdedup_overflow_count(pid, U_cap)
         elif cfg.gather_vjp == "raydedup":
             T_rows = cfg.gvjp_rows or cfg.SR * cfg.K
             take = make_gather_rows_dedup(T_rows, cfg.gvjp_U)

@@ -163,6 +163,7 @@ _F = [
     # smaller scatter (gvjp_U distinct-id slots per ray)
     ("gather_vjp", str, "scatter", None),
     ("gvjp_U", int, 128, None),
+    ("gvjp_batch_U", int, 0, None),
     # eval renders: per-tile dedup'd attribute gather (distinct-id slots
     # per attr_tile-ray tile; 0 = plain gather, -1 = auto: 512 on TPU —
     # raster chunks hold <=491 distinct ids per 64-ray tile at 4.2M and
@@ -339,9 +340,10 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--gather_round must be nearest or stochastic, got {gr!r}")
     gv = getattr(opt, "gather_vjp", "scatter")
-    if gv not in ("scatter", "sorted", "f32", "spread", "raydedup"):
+    if gv not in ("scatter", "sorted", "f32", "spread", "raydedup",
+                  "batchdedup"):
         raise ValueError("--gather_vjp must be scatter/sorted/f32/spread/"
-                         f"raydedup, got {gv!r}")
+                         f"raydedup/batchdedup, got {gv!r}")
     def _resolve_attr_dedup(ad: int) -> int:
         if ad >= 0:
             return ad
@@ -435,6 +437,7 @@ def configs_from_opt(opt):
         gather_round=getattr(opt, "gather_round", "nearest"),
         gather_vjp=gv,
         gvjp_U=int(getattr(opt, "gvjp_U", 128)),
+        gvjp_batch_U=int(getattr(opt, "gvjp_batch_U", 0)),
         attr_dedup=_resolve_attr_dedup(int(getattr(opt, "attr_dedup", -1))),
         attr_tile=int(getattr(opt, "attr_tile", 64)),
         domain_size=float(opt.domain_size),

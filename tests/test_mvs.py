@@ -141,3 +141,27 @@ def test_resize_align_corners_matches_torch():
             mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
         got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(out_hw))
+
+
+def test_predict_depth_non_divisible_dims():
+    """predict_depth must run at feature dims NOT divisible by 8 (the
+    CostRegNet pads the cost volume and crops after — small probe scenes
+    hit this; real MVSNet inputs are multiples of 32 and take the no-pad
+    path, pinned exactly by tests/test_mvs_converters.py)."""
+    import jax
+    import jax.numpy as jnp
+    from sgnerf_tpu.models.mvs import MVSConfig, MvsPointsModel
+
+    model = MvsPointsModel(MVSConfig(), key=jax.random.key(2))
+    rng = np.random.default_rng(0)
+    V, H, W, D = 2, 44, 60, 10          # features (11, 15): not 8-divisible
+    imgs = jnp.asarray(rng.normal(size=(V, H, W, 3)).astype(np.float32))
+    projs = jnp.asarray(
+        np.stack([np.eye(4, dtype=np.float32)[:3] for _ in range(V)]))
+    dvals = jnp.linspace(1.0, 3.0, D)
+    depth, conf, prob = model.predict_depth(imgs, projs, dvals)
+    assert depth.shape == (H // 4, W // 4)
+    assert conf.shape == (H // 4, W // 4)
+    assert prob.shape == (D, H // 4, W // 4)
+    assert np.isfinite(np.asarray(depth)).all()
+    assert np.isfinite(np.asarray(conf)).all()

@@ -208,7 +208,7 @@ def test_gather_vjp_sorted_matches_scatter_end_to_end(scene):
         return jnp.mean((out["coarse_raycolor"] - target) ** 2)
 
     v1, g1 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, "scatter")
-    for variant in ("sorted", "f32", "spread", "raydedup"):
+    for variant in ("sorted", "f32", "spread", "raydedup", "batchdedup"):
         v2, g2 = jax.value_and_grad(loss_fn, allow_int=True)(cloud, variant)
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g1.embedding),
@@ -348,3 +348,36 @@ def test_train_step_with_depth_losses(scene):
         losses.append(float(ls["coarse_depth"]))
     assert np.isfinite(losses).all()
     assert losses[-1] <= losses[0] + 1e-6
+
+
+def test_gather_rows_batchdedup_exact_and_overflow():
+    """make_gather_rows_batchdedup: transpose equals the plain scatter-add
+    exactly when the distinct count fits U_cap; past the cap the LARGEST
+    distinct ids' rows drop and batchdedup_overflow_count predicts the
+    overflow."""
+    from sgnerf_tpu.models.renderer import (make_gather_rows_batchdedup,
+                                            batchdedup_overflow_count)
+    rng = np.random.default_rng(13)
+    n, C = 500, 5
+    table = jnp.asarray(rng.normal(size=(n, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=(6, 40)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(6, 40, C)).astype(np.float32))
+    uniq = np.unique(np.asarray(idx))
+
+    g_ref = jax.grad(lambda t: jnp.sum(t[idx] * cot))(table)
+    gather = make_gather_rows_batchdedup(len(uniq) + 8)
+    g1 = jax.grad(lambda t: jnp.sum(gather(t, idx) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g_ref), atol=1e-5)
+    assert int(batchdedup_overflow_count(idx, len(uniq) + 8)) == 0
+
+    # undersized cap: top-(excess) ids by value drop; count matches
+    cap = len(uniq) - 7
+    gather2 = make_gather_rows_batchdedup(cap)
+    g2 = jax.grad(lambda t: jnp.sum(gather2(t, idx) * cot))(table)
+    assert int(batchdedup_overflow_count(idx, cap)) == 7
+    dropped = uniq[cap:]
+    kept = np.ones(n, bool)
+    kept[dropped] = False
+    np.testing.assert_allclose(np.asarray(g2)[kept],
+                               np.asarray(g_ref)[kept], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(g2)[~kept], 0.0)
