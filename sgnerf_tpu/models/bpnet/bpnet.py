@@ -152,10 +152,10 @@ def compute_linking(intrinsic4: np.ndarray, c2w: np.ndarray,
 
 
 def voxelize(locs: np.ndarray, feats: np.ndarray, voxel_size: float,
-             links: Optional[np.ndarray] = None):
+             links: Optional[np.ndarray] = None, return_first: bool = False):
     """Deterministic quantization (no augmentation, matching the reference's
     use_augmentation=False). Returns (coords (M,3) int32 origin-aligned,
-    vfeats (M,C), inds_reconstruct (N,), vlinks)."""
+    vfeats (M,C), inds_reconstruct (N,), vlinks[, first_idx (M,)])."""
     coords = np.floor(locs / voxel_size)
     coords = coords - coords.min(0)
     coords = coords.astype(np.int64)
@@ -165,6 +165,8 @@ def voxelize(locs: np.ndarray, feats: np.ndarray, voxel_size: float,
     vcoords = coords[first_idx].astype(np.int32)
     vfeats = feats[first_idx]
     vlinks = links[first_idx] if links is not None else None
+    if return_first:
+        return vcoords, vfeats, inv.astype(np.int64), vlinks, first_idx
     return vcoords, vfeats, inv.astype(np.int64), vlinks
 
 
@@ -316,6 +318,14 @@ class BPNet:
             lambda p, g, im, l, caps: bpnet_forward(p, self.cfg, g, im, l,
                                                     caps),
             static_argnames=("caps",))
+        # voxelization structure cache (aug=0 only): during fine-tuning
+        # xyz AND feats are frozen, so (vcoords, inds_reconstruct,
+        # first_idx, dims, the SparseGrid itself) are CONSTANT between
+        # topology changes — the 4.2M-row np.unique + full-cloud link
+        # building were ~4.5 s of the 5.0 s refresh (probe_bpnet_42m).
+        # With the cache, per-refresh host work is image IO + link
+        # projection over the M~1e5 voxel-representative points only.
+        self._vox_cache = None
 
     def _select_views(self, frames_path: List[str], image_path: str):
         """Deterministic view split; the current frame leads when present
@@ -389,33 +399,64 @@ class BPNet:
         if isinstance(image_path, (list, tuple)):
             image_path = image_path[0]
         views = self._select_views(list(frames), image_path)
+        rng = (np.random.default_rng() if self.cfg.aug else None)
+
+        # ---- voxelization structure (cached while the cloud is unchanged)
+        cache = None
+        if not self.cfg.aug:
+            fp = (locs_in.shape, feats_in.shape,
+                  float(locs_in[:: max(1, len(locs_in) // 997)].sum(dtype=np.float64)),
+                  float(feats_in[:: max(1, len(feats_in) // 997)].sum(dtype=np.float64)))
+            if self._vox_cache is not None and self._vox_cache["fp"] == fp:
+                cache = self._vox_cache
+        if cache is not None:
+            grid = cache["grid"]
+            inds_rec = cache["inds_rec"]
+            first_idx = cache["first_idx"]
+            down_caps = cache["down_caps"]
+            link_pts = cache["link_pts"]
+        else:
+            link_pts = locs_in
 
         imgs, links, gts = [], [], []
-        rng = (np.random.default_rng() if self.cfg.aug else None)
         for vpath in views:
-            img, link, gt = self._load_view(vpath, locs_in, intrinsic4,
+            # links are built from the ORIGINAL coords (reference get_2d runs
+            # before prevoxel_transforms); on a cache hit only the M voxel-
+            # representative points need projecting — the voxelize step below
+            # would have reduced the (N,4,V) links to links[first_idx] anyway
+            img, link, gt = self._load_view(vpath, link_pts, intrinsic4,
                                             rng=rng)
             imgs.append(img)
             links.append(link)
             gts.append(gt)
         imgs = np.stack(imgs)                       # (V,h,w,3)
-        links = np.stack(links, axis=-1)            # (N,4,V)
+        links = np.stack(links, axis=-1)            # (N or M, 4, V)
         links[:, 0, :] = 0
 
-        # prevoxel ElasticDistortion (reference bpneter/bpnet.py:515 — links
-        # are built from the ORIGINAL coords above, then the distorted cloud
-        # is voxelized; get_2d runs before prevoxel_transforms there too)
-        locs_vox = (prevoxel_distort(locs_in, rng) if self.cfg.aug
-                    else locs_in)
-
-        vcoords, vfeats, inds_rec, vlinks = voxelize(
-            locs_vox, feats_in, self.cfg.voxel_size, links)
-        vfeats = vfeats / 127.5 - 1.0
-        dims = tuple(int(d) for d in vcoords.max(0) + 1)
-        M = len(vcoords)
-        grid = make_sparse_grid(jnp.asarray(vcoords), jnp.asarray(vfeats),
-                                dims)
-        down_caps = (M, M, max(M // 2, 64), max(M // 4, 64))
+        if cache is not None:
+            vlinks = links                          # already at voxel rows
+        else:
+            # prevoxel ElasticDistortion (reference bpneter/bpnet.py:515 —
+            # links come from the ORIGINAL coords above, then the distorted
+            # cloud is voxelized)
+            locs_vox = (prevoxel_distort(locs_in, rng) if self.cfg.aug
+                        else locs_in)
+            vcoords, vfeats, inds_rec, vlinks, first_idx = voxelize(
+                locs_vox, feats_in, self.cfg.voxel_size, links,
+                return_first=True)
+            vfeats = vfeats / 127.5 - 1.0
+            dims = tuple(int(d) for d in vcoords.max(0) + 1)
+            M = len(vcoords)
+            grid = make_sparse_grid(jnp.asarray(vcoords),
+                                    jnp.asarray(vfeats), dims)
+            down_caps = (M, M, max(M // 2, 64), max(M // 4, 64))
+            inds_rec = jnp.asarray(inds_rec)
+            if not self.cfg.aug:
+                self._vox_cache = {
+                    "fp": fp, "grid": grid, "inds_rec": inds_rec,
+                    "first_idx": first_idx, "down_caps": down_caps,
+                    "link_pts": np.ascontiguousarray(locs_in[first_idx]),
+                }
 
         softmax3d, logits2d, feat3d = self._jit(
             self.params, grid, jnp.asarray(imgs), jnp.asarray(vlinks),
@@ -432,7 +473,8 @@ class BPNet:
         # devoxelize on the HOST, in f32: cast bf16 outputs on-device first
         # — numpy fancy-indexing over ml_dtypes bf16 arrays is ~40x slower
         # than f32 (probe_bpnet_42m: 84 s vs 18 s per 4.2M-point refresh)
-        probs = np.asarray(softmax3d.astype(jnp.float32))[inds_rec]
+        ir_np = np.asarray(inds_rec)
+        probs = np.asarray(softmax3d.astype(jnp.float32))[ir_np]
         labels = probs.argmax(-1)
-        point_feat = np.asarray(feat3d.astype(jnp.float32))[inds_rec]
+        point_feat = np.asarray(feat3d.astype(jnp.float32))[ir_np]
         return labels, probs, labels2d, point_feat, gt2d

@@ -444,3 +444,48 @@ def test_convert_bpnet_fabricated_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(sm_a), np.asarray(sm_b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(l2_a), np.asarray(l2_b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(f3_a), np.asarray(f3_b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_bpnet_vox_cache(tmp_path):
+    """aug=0 voxelization caching (round-4, semantic-refresh cost): a
+    second train_bpnet call on the SAME cloud must reuse the cached
+    voxelization/SparseGrid (links projected for the M voxel
+    representatives only) and return bitwise-identical outputs; a changed
+    cloud must invalidate the cache."""
+    import os
+    from PIL import Image
+    from sgnerf_tpu.models.bpnet.bpnet import BPNet, BPNetConfig
+
+    for sub in ("color", "depth", "pose", "label"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(2):
+        img = (rng.uniform(0, 255, (24, 32, 3))).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / f"color/{i}.jpg")
+        Image.fromarray(np.full((24, 32), 2000, np.uint16)).save(
+            tmp_path / f"depth/{i}.png")
+        np.savetxt(tmp_path / f"pose/{i}.txt", np.eye(4))
+        paths.append(str(tmp_path / f"color/{i}.jpg"))
+    intr4 = np.eye(4)
+    intr4[0, 0] = intr4[1, 1] = 20.0
+    intr4[0, 2], intr4[1, 2] = 16, 12
+
+    locs = (rng.normal(size=(300, 3)) * 0.4 + [0, 0, 2]).astype(np.float32)
+    feats = rng.uniform(0, 255, (300, 3)).astype(np.float32)
+
+    net = BPNet(BPNetConfig(view_num=2, img_wh=(32, 24)),
+                key=jax.random.key(1))
+    out1 = net.train_bpnet(locs, feats, paths, paths[0], intr4)
+    assert net._vox_cache is not None
+    grid_id = id(net._vox_cache["grid"])
+    out2 = net.train_bpnet(locs, feats, paths, paths[0], intr4)
+    assert id(net._vox_cache["grid"]) == grid_id        # reused, not rebuilt
+    for a, b in zip(out1[:4], out2[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # changed cloud -> recompute
+    locs2 = locs + 0.05
+    net.train_bpnet(locs2, feats, paths, paths[0], intr4)
+    assert id(net._vox_cache["grid"]) != grid_id
