@@ -412,6 +412,7 @@ class BPNet:
         if cache is not None:
             grid = cache["grid"]
             inds_rec = cache["inds_rec"]
+            inds_rec_np = cache["inds_rec_np"]
             first_idx = cache["first_idx"]
             down_caps = cache["down_caps"]
             link_pts = cache["link_pts"]
@@ -441,7 +442,7 @@ class BPNet:
             # cloud is voxelized)
             locs_vox = (prevoxel_distort(locs_in, rng) if self.cfg.aug
                         else locs_in)
-            vcoords, vfeats, inds_rec, vlinks, first_idx = voxelize(
+            vcoords, vfeats, inds_rec_np, vlinks, first_idx = voxelize(
                 locs_vox, feats_in, self.cfg.voxel_size, links,
                 return_first=True)
             vfeats = vfeats / 127.5 - 1.0
@@ -450,10 +451,11 @@ class BPNet:
             grid = make_sparse_grid(jnp.asarray(vcoords),
                                     jnp.asarray(vfeats), dims)
             down_caps = (M, M, max(M // 2, 64), max(M // 4, 64))
-            inds_rec = jnp.asarray(inds_rec)
+            inds_rec = jnp.asarray(inds_rec_np)
             if not self.cfg.aug:
                 self._vox_cache = {
                     "fp": fp, "grid": grid, "inds_rec": inds_rec,
+                    "inds_rec_np": inds_rec_np,
                     "first_idx": first_idx, "down_caps": down_caps,
                     "link_pts": np.ascontiguousarray(locs_in[first_idx]),
                 }
@@ -473,8 +475,7 @@ class BPNet:
         # devoxelize on the HOST, in f32: cast bf16 outputs on-device first
         # — numpy fancy-indexing over ml_dtypes bf16 arrays is ~40x slower
         # than f32 (probe_bpnet_42m: 84 s vs 18 s per 4.2M-point refresh)
-        ir_np = np.asarray(inds_rec)
-        probs = np.asarray(softmax3d.astype(jnp.float32))[ir_np]
+        probs = np.asarray(softmax3d.astype(jnp.float32))[inds_rec_np]
         labels = probs.argmax(-1)
-        point_feat = np.asarray(feat3d.astype(jnp.float32))[ir_np]
+        point_feat = np.asarray(feat3d.astype(jnp.float32))[inds_rec_np]
         return labels, probs, labels2d, point_feat, gt2d

@@ -146,11 +146,14 @@ def _grow_jit(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
     start = cloud.n_active
     k = jnp.arange(gb, dtype=jnp.int32)
     ok = (k < g) & (start + k < cloud.capacity)
-    idx = jnp.where(ok, start + k, cloud.capacity - 1)
+    # rejected rows (bucket padding / over-capacity) target the OUT-OF-
+    # BOUNDS index and DROP — never a clipped in-range slot, which a
+    # legitimate new point could also target (a duplicate-index .set()
+    # race whose winner XLA leaves unspecified)
+    idx = jnp.where(ok, start + k, cloud.capacity)
 
     def put(dst, src):
-        src = jnp.asarray(src, dst.dtype)
-        return dst.at[idx].set(jnp.where(ok[:, None], src, dst[idx]))
+        return dst.at[idx].set(jnp.asarray(src, dst.dtype), mode="drop")
 
     return dataclasses.replace(
         cloud,
@@ -159,7 +162,7 @@ def _grow_jit(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
         conf=put(cloud.conf, new_conf),
         color=put(cloud.color, new_color),
         dir=put(cloud.dir, new_dir),
-        active=cloud.active.at[idx].set(ok | cloud.active[idx]),
+        active=cloud.active.at[idx].set(True, mode="drop"),
         n_active=(start + jnp.sum(ok)).astype(jnp.int32),
     )
 
@@ -176,6 +179,8 @@ def grow(cloud: NeuralPointCloud, new_xyz, new_embedding, new_conf,
     host-side concat" in the round-3 grow probe). G pads to a 4096 bucket
     so repeated grows share one compile."""
     g = int(np.asarray(new_xyz).shape[0])
+    if g == 0:
+        return cloud
     gb = max(4096, (g + 4095) // 4096 * 4096)
 
     def padded(a, w):

@@ -197,8 +197,9 @@ def make_gather_rows_batchdedup(U_cap: int):
         s = jnp.sort(flat_idx)
         first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
         rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-        n_uniq = rank_sorted[-1] + 1
-        # uniq[r] = the id with rank r (duplicate writes carry equal values)
+        # uniq[r] = the id with rank r (duplicate writes carry equal values);
+        # ranks past U_cap (overflow) drop here and in the compact scatter —
+        # batchdedup_overflow_count diagnoses them forward-side
         uniq = jnp.full((U_cap,), n, jnp.int32).at[rank_sorted].set(
             s, mode="drop")
         # rank of each ORIGINAL row (uniq ascending by construction; slots
@@ -580,7 +581,14 @@ def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
         sample_pnt_mask = sample_pnt_mask & hit
         g = jax.lax.optimization_barrier(g)
     else:
-        if cfg.gather_vjp == "sorted":
+        if use_int8:
+            # int8 carries its OWN transpose (the bf16-scatter equivalent
+            # of the default); composing it with a gather_vjp variant is
+            # rejected at option-parse time (configs_from_opt)
+            assert cfg.gather_vjp == "scatter", \
+                "gather_dtype=int8 requires gather_vjp=scatter"
+            take = None
+        elif cfg.gather_vjp == "sorted":
             take = gather_rows
         elif cfg.gather_vjp == "f32":
             take = gather_rows_f32acc

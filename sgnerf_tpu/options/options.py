@@ -340,6 +340,10 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--gather_round must be nearest or stochastic, got {gr!r}")
     gv = getattr(opt, "gather_vjp", "scatter")
+    if opt.gather_dtype == "int8" and gv != "scatter":
+        raise ValueError(
+            "--gather_dtype int8 carries its own transpose; it composes "
+            f"only with --gather_vjp scatter (got {gv!r})")
     if gv not in ("scatter", "sorted", "f32", "spread", "raydedup",
                   "batchdedup"):
         raise ValueError("--gather_vjp must be scatter/sorted/f32/spread/"

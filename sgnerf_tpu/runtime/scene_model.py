@@ -560,9 +560,11 @@ class SceneModel:
                 color=np.concatenate([np.asarray(cloud.color)[act], new_color]),
                 capacity=self._capacity_for(need))
         else:
-            cloud = grow_cloud(cloud, jnp.asarray(new_xyz),
-                               jnp.asarray(new_embedding), jnp.asarray(new_conf),
-                               jnp.asarray(new_color), jnp.asarray(new_dir))
+            # pass host arrays straight through: grow() pads on the host
+            # before ONE device upload (a jnp.asarray here would round-trip
+            # device->host->device through the tunnel)
+            cloud = grow_cloud(cloud, new_xyz, new_embedding, new_conf,
+                               new_color, new_dir)
         print(f"grow: +{len(new_xyz)} -> {int(cloud.n_active)} points")
         self._rebuild(cloud)
 

@@ -479,13 +479,13 @@ def test_train_bpnet_vox_cache(tmp_path):
                 key=jax.random.key(1))
     out1 = net.train_bpnet(locs, feats, paths, paths[0], intr4)
     assert net._vox_cache is not None
-    grid_id = id(net._vox_cache["grid"])
+    grid1 = net._vox_cache["grid"]          # hold a reference: id() stays valid
     out2 = net.train_bpnet(locs, feats, paths, paths[0], intr4)
-    assert id(net._vox_cache["grid"]) == grid_id        # reused, not rebuilt
+    assert net._vox_cache["grid"] is grid1              # reused, not rebuilt
     for a, b in zip(out1[:4], out2[:4]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # changed cloud -> recompute
     locs2 = locs + 0.05
     net.train_bpnet(locs2, feats, paths, paths[0], intr4)
-    assert id(net._vox_cache["grid"]) != grid_id
+    assert net._vox_cache["grid"] is not grid1
