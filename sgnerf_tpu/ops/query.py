@@ -203,6 +203,41 @@ def _two_level_hits_lazy(campos, raydir, tvals, grid: PointGrid, SR: int):
     return jnp.where(smask[..., None], loc, 0.0), smask
 
 
+def bucket_candidates(grid: PointGrid, sample_loc_w: jnp.ndarray,
+                      smask: jnp.ndarray):
+    """KNN candidate enumeration from the bucket tables (the nbr_cache=0
+    path): visit the kernel_size^3 voxel neighborhood of each shading
+    point and collect its buckets' candidates. Shared by query_neighbors
+    and the perspective slab-sharded querier (parallel/spatial.py).
+
+    Returns (cand (...,Kv,P) int32 ids, cand_ok bool, d2, flat_shape)."""
+    spec = grid.spec
+    B, R, SR, _ = sample_loc_w.shape
+    offsets = _neighbor_offsets(spec.kernel_size)  # (Kv,3)
+
+    c = voxel_coords(sample_loc_w, spec)                      # (B,R,SR,3)
+    nbr = c[..., None, :] + offsets                            # (B,R,SR,Kv,3)
+    nbr_ok = in_bounds(nbr, spec)
+    nc = jnp.clip(nbr, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
+    slot = _take3d(grid.vox_slot, nc, spec.vdim)               # (B,R,SR,Kv)
+    slot_ok = nbr_ok & (slot >= 0)
+    slot_c = jnp.clip(slot, 0, spec.max_o - 1)
+
+    cand = grid.bucket_pnts[slot_c]                            # (B,R,SR,Kv,P)
+    cnt = grid.bucket_cnt[slot_c]                              # (B,R,SR,Kv)
+    rank_ok = jnp.arange(spec.P, dtype=jnp.int32) < cnt[..., None]
+    cand_ok = (slot_ok[..., None] & rank_ok & (cand >= 0)
+               & smask[..., None, None])
+
+    # candidate coords from the packed (max_o,P,3) table: one contiguous
+    # (P,3) block per visited voxel instead of Kv*P scalar row gathers
+    cxyz = grid.bucket_xyz[slot_c]                             # (B,R,SR,Kv,P,3)
+    d2 = jnp.sum(
+        (cxyz - sample_loc_w[..., None, None, :]) ** 2, axis=-1)
+    Kv = offsets.shape[0]
+    return cand, cand_ok, d2, (B, R, SR, Kv * spec.P)
+
+
 def _neighbor_offsets(kernel_size):
     kx, ky, kz = kernel_size
     ox = np.arange(kx) - kx // 2
@@ -340,29 +375,8 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         Kv = 1
         cand_flat_shape = (B, R, SR, cand.shape[-1])
     else:
-        offsets = _neighbor_offsets(spec.kernel_size)  # (Kv,3)
-        Kv = offsets.shape[0]
-
-        c = voxel_coords(sample_loc_w, spec)                      # (B,R,SR,3)
-        nbr = c[..., None, :] + offsets                            # (B,R,SR,Kv,3)
-        nbr_ok = in_bounds(nbr, spec)
-        nc = jnp.clip(nbr, 0, jnp.asarray(spec.vdim, jnp.int32) - 1)
-        slot = _take3d(grid.vox_slot, nc, spec.vdim)               # (B,R,SR,Kv)
-        slot_ok = nbr_ok & (slot >= 0)
-        slot_c = jnp.clip(slot, 0, spec.max_o - 1)
-
-        cand = grid.bucket_pnts[slot_c]                            # (B,R,SR,Kv,P)
-        cnt = grid.bucket_cnt[slot_c]                              # (B,R,SR,Kv)
-        rank_ok = jnp.arange(spec.P, dtype=jnp.int32) < cnt[..., None]
-        cand_ok = (slot_ok[..., None] & rank_ok & (cand >= 0)
-                   & smask[..., None, None])
-
-        # candidate coords from the packed (max_o,P,3) table: one contiguous
-        # (P,3) block per visited voxel instead of Kv*P scalar row gathers
-        cxyz = grid.bucket_xyz[slot_c]                             # (B,R,SR,Kv,P,3)
-        d2 = jnp.sum(
-            (cxyz - sample_loc_w[..., None, None, :]) ** 2, axis=-1)
-        cand_flat_shape = (B, R, SR, Kv * spec.P)
+        cand, cand_ok, d2, cand_flat_shape = bucket_candidates(
+            grid, sample_loc_w, smask)
 
     radius2 = jnp.asarray(radius_limit, d2.dtype) ** 2
     in_radius = jnp.where(radius2 > 0, d2 <= radius2, True)

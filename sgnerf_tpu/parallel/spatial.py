@@ -110,7 +110,8 @@ def _round_up(v: int, b: int) -> int:
 
 def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
                        gspec: GridSpec, n_shards: int, capacity: int, *,
-                       pts_bucket: int = 4096, vox_bucket: int = 8192):
+                       pts_bucket: int = 4096, vox_bucket: int = 8192,
+                       halo_override: Optional[int] = None):
     """Host-side (numpy) slab planning: per-shard point selection and
     capacity sizing, WITHOUT building any device tables. Used by
     build_sharded_scene and by the deviceless AOT memory proof
@@ -128,6 +129,10 @@ def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
     gx = np.floor((xyz[:, 0] - minx) / vsx).astype(np.int64)
 
     halo = max(max(gspec.kernel_size), max(gspec.dilate)) // 2 + 1
+    if halo_override is not None:
+        # the perspective querier needs a wider halo than the world
+        # kernel's (perspective_halo_voxels)
+        halo = max(halo, int(halo_override))
     slab_w = (X + n_shards - 1) // n_shards
     Lx = slab_w + 2 * halo
 
@@ -174,7 +179,9 @@ def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
 
 def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
                         n_shards: int, *, pts_bucket: int = 4096,
-                        vox_bucket: int = 8192):
+                        vox_bucket: int = 8192,
+                        halo_override: Optional[int] = None,
+                        build_tables: bool = True):
     """Decompose `cloud` into n_shards X-slabs and build per-slab grids.
 
     Host-side (numpy) slab selection (plan_sharded_scene); per-slab
@@ -187,7 +194,8 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
     """
     sspec, sels = plan_sharded_scene(
         cloud.xyz, cloud.active, gspec, n_shards, cloud.capacity,
-        pts_bucket=pts_bucket, vox_bucket=vox_bucket)
+        pts_bucket=pts_bucket, vox_bucket=vox_bucket,
+        halo_override=halo_override)
     X, _, _ = gspec.vdim
     vsx = gspec.vsize[0]
     slab_w, halo = sspec.slab_w, sspec.halo
@@ -224,14 +232,24 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
         lo = i * slab_w
         x_off = lo - halo
         lcloud = slab_cloud(i)
-        # shift so the shard window starts at local voxel x=0; one static
-        # lspec then serves every shard (one compile, not n)
-        shift = jnp.asarray([x_off * vsx, 0.0, 0.0], jnp.float32)
-        lgrid = _build_grid_core(lcloud.xyz - shift, lcloud.active, lspec)
-        dil_slot, nbr_packed = _build_nbr_cache_jit(lgrid, lspec, max_d_s)
-        occ_l.append(lgrid.occ_mask)
-        dil_l.append(dil_slot)
-        nbr_l.append(nbr_packed)
+        if build_tables:
+            # shift so the shard window starts at local voxel x=0; one
+            # static lspec then serves every shard (one compile, not n)
+            shift = jnp.asarray([x_off * vsx, 0.0, 0.0], jnp.float32)
+            lgrid = _build_grid_core(lcloud.xyz - shift, lcloud.active,
+                                     lspec)
+            dil_slot, nbr_packed = _build_nbr_cache_jit(lgrid, lspec,
+                                                        max_d_s)
+            occ_l.append(lgrid.occ_mask)
+            dil_l.append(dil_slot)
+            nbr_l.append(nbr_packed)
+        else:
+            # perspective-only scenes (wcoord_query=0): the per-frame
+            # frustum grid is rebuilt inside the render, the world tables
+            # would never be read
+            occ_l.append(jnp.zeros((0, 0, 0), jnp.uint8))
+            dil_l.append(jnp.zeros((0, 0, 0), jnp.int32))
+            nbr_l.append(jnp.zeros((0, 0), jnp.int16))
         clouds.append(lcloud)
         g = np.full(cap_pts, cloud.capacity, np.int32)
         g[:len(sels[i])] = sels[i]
@@ -502,6 +520,163 @@ def render_rays_spatial(params: Dict[str, Any], scene: ShardedScene,
               scene.nbr_packed, scene.x_off, scene.own_lo, scene.own_hi,
               campos, raydir, camrotc2w, jnp.asarray(near, jnp.float32),
               jnp.asarray(far, jnp.float32), bg_color, pixel_label)
+
+
+# ------------------------------------------- perspective-space composition
+
+def perspective_halo_voxels(gspec: GridSpec, pspec: GridSpec) -> int:
+    """World-voxel halo width that makes the slab decomposition sufficient
+    for the PERSPECTIVE querier (wcoord_query=0).
+
+    The perspective kernel accepts neighbors within (kernel_size//2 + 1)
+    perspective voxels per axis of the shading point's voxel; a
+    perspective-space displacement (dpx, dpy, dpz) in (x/z, y/z, z) units
+    bounds the camera/world-space displacement by
+        |dX| <= dpx*far + |x/z|_max*dpz   (and likewise for Y; |dZ| = dpz),
+    with far and the tan-angle extents read off the static frustum spec.
+    Rotation is an isometry, so the same bound holds in world space and a
+    halo of ceil(|d|/vsize_world) world voxels guarantees every owned
+    shading point finds ALL its perspective neighbors in its shard's
+    slab+halo point set (exactness asserted vs the single-device render in
+    tests/test_spatial.py)."""
+    vs = np.asarray(pspec.vsize, np.float64)
+    ks = np.asarray(pspec.kernel_size, np.int64)
+    d = (ks // 2 + 1) * vs
+    mn = np.asarray(pspec.min_corner, np.float64)
+    mx = mn + np.asarray(pspec.vdim, np.float64) * vs
+    far = mx[2]
+    tanx = max(abs(mn[0]), abs(mx[0]))
+    tany = max(abs(mn[1]), abs(mx[1]))
+    dx = d[0] * far + tanx * d[2]
+    dy = d[1] * far + tany * d[2]
+    dw = float(np.sqrt(dx * dx + dy * dy + d[2] * d[2]))
+    return int(np.ceil(dw / gspec.vsize[0])) + 1
+
+
+def render_rays_spatial_perspective(
+        params: Dict[str, Any], scene: ShardedScene, sspec: SpatialSpec,
+        pspec: GridSpec, cfg: RenderConfig, mesh: Mesh, *,
+        campos, raydir, camrotc2w, near, far,
+        bg_color: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """Perspective-space (wcoord_query=0) render over the slab-sharded
+    scene — closes the round-3 "perspective x --scene_shards" cliff.
+
+    Per shard (inside shard_map): transform the LOCAL slab+halo points to
+    camera perspective space and rebuild the per-frame frustum grid (the
+    same per-forward rebuild the single-device path does,
+    ops/query_pers.py); psum-union the per-sample hit mask so every shard
+    compacts the SAME shading points; each shard queries + shades only the
+    shading points whose WORLD voxel it owns (clamped at the grid borders
+    so out-of-range samples keep their boundary owner) — the perspective
+    halo (perspective_halo_voxels) guarantees its local points contain the
+    full neighbor set; psum merges the disjoint contributions before the
+    replicated march. Build the scene with
+    build_sharded_scene(halo_override=perspective_halo_voxels(...)).
+
+    Eval-only (the reference composes neither: it is single-GPU
+    everywhere); training on sharded scenes stays world-space."""
+    from ..ops.grid import build_point_grid
+    from ..ops.camera import w2pers, pers2w
+    from ..ops.query import bucket_candidates
+    from ..ops.raygen import find_ray_generation_method
+
+    gspec = sspec.gspec
+    B, R, _ = raydir.shape
+    X = gspec.vdim[0]
+
+    def body(params, cloud, own_lo, own_hi, campos, raydir, camrotc2w,
+             near, far, bg_color):
+        cloud = jax.tree.map(lambda a: a[0], cloud)
+        own_lo, own_hi = own_lo[0], own_hi[0]
+
+        raygen = find_ray_generation_method(cfg.which_ray_generation)
+        raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim,
+                                 near=near, far=far, jitter=0.0,
+                                 domain_size=cfg.domain_size)
+        pers_pts = w2pers(cloud.xyz, camrotc2w[0], campos[0])
+        lgrid = build_point_grid(pers_pts, cloud.active, pspec)
+        raypos_p = w2pers(raypos.reshape(-1, 3), camrotc2w[0],
+                          campos[0]).reshape(raypos.shape)
+
+        # (1) hit-mask union over shards -> identical compaction everywhere
+        c = voxel_coords(raypos_p, pspec)
+        inb = in_bounds(c, pspec)
+        cc = jnp.clip(c, 0, jnp.asarray(pspec.vdim, jnp.int32) - 1)
+        occ = take3d(lgrid.occ_mask, cc, pspec.vdim) > 0
+        hit = jax.lax.psum((inb & occ).astype(jnp.int32), "data") > 0
+        smask, gather_d = compact_hits(hit, cfg.SR)
+        loc_p = jnp.take_along_axis(raypos_p, gather_d[..., None], axis=2)
+        loc_p = jnp.where(smask[..., None], loc_p, 0.0)
+        loc_w = pers2w(loc_p.reshape(-1, 3), camrotc2w[0],
+                       campos[0]).reshape(loc_p.shape)
+        loc_w = jnp.where(smask[..., None], loc_w, 0.0)
+
+        # (2) ownership by the shading point's WORLD x voxel (border
+        # samples clamp to the boundary slab, which the halo covers)
+        gx = jnp.floor((loc_w[..., 0] - gspec.min_corner[0])
+                       / gspec.vsize[0]).astype(jnp.int32)
+        gx = jnp.clip(gx, 0, X - 1)
+        own = smask & (gx >= own_lo) & (gx < own_hi)
+
+        # (3) per-shard KNN over the local perspective grid
+        cand, cand_ok, d2, flat_shape = bucket_candidates(lgrid, loc_p,
+                                                          smask)
+        radius2 = jnp.asarray(cfg.radius_limit, d2.dtype) ** 2
+        ok = (cand_ok & jnp.where(radius2 > 0, d2 <= radius2, True)
+              & own[..., None, None])
+        big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+        d2m = jnp.where(ok, d2, big).reshape(flat_shape)
+        neg_top, top_idx = jax.lax.top_k(-d2m, cfg.K)
+        top_ok = -neg_top < big
+        sample_pidx = jnp.where(
+            top_ok, jnp.take_along_axis(cand.reshape(flat_shape), top_idx,
+                                        axis=-1), -1).astype(jnp.int32)
+
+        # (4) shade owned shading points; psum merges the disjoint slabs
+        (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+         _) = gather_and_aggregate(params, cloud, cfg, sample_pidx, loc_w,
+                                   campos, raydir, camrotc2w,
+                                   is_train=False)
+        ownf = own.astype(decoded.dtype)
+        decoded = _merge(decoded * ownf[..., None])
+        weight = _merge(weight * ownf[..., None])
+        conf_coefficient = _merge(conf_coefficient * ownf[..., None])
+        ray_valid = jax.lax.psum(
+            (ray_valid & own).astype(jnp.int32), "data") > 0
+        ray_mask = jnp.any(ray_valid, axis=-1)
+
+        ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
+                                   cfg.vsize[2], cfg.raydist_mode_unit)
+        render_func = find_render_function(cfg.which_render_func)
+        blend_func = find_blend_function(cfg.which_blend_func)
+        tone_map = find_tone_map(cfg.which_tonemap_func)
+        (ray_color, _, opacity, _, blend_weight, background_transmission,
+         _) = ray_march(ray_dist, ray_valid, decoded, render_func,
+                        blend_func, bg_color)
+        return {
+            "coarse_raycolor": tone_map(ray_color),
+            "coarse_point_opacity": opacity,
+            "coarse_is_background": background_transmission,
+            "queried_shading": jnp.broadcast_to(
+                jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
+                                ).astype(jnp.float32), (B, R, 3)),
+            "ray_mask": ray_mask,
+            "ray_valid": ray_valid,
+            "weight": jax.lax.stop_gradient(weight),
+            "blend_weight": jax.lax.stop_gradient(blend_weight),
+            "conf_coefficient": conf_coefficient,
+        }
+
+    if bg_color is None:
+        bg_color = jnp.ones(3, jnp.float32)
+    shard, rep = P("data"), P()
+    fn = _shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, shard, shard, shard, rep, rep, rep, rep, rep, rep),
+        out_specs=rep, check_vma=False)
+    return fn(params, scene.cloud, scene.own_lo, scene.own_hi, campos,
+              raydir, camrotc2w, jnp.asarray(near, jnp.float32),
+              jnp.asarray(far, jnp.float32), bg_color)
 
 
 # --------------------------------------------------------------- training

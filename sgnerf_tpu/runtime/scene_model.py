@@ -141,15 +141,16 @@ class SceneModel:
         self.perspective = int(getattr(opt, "wcoord_query", 1)) == 0
         self.pspec = None
         if self.perspective:
-            # --ray_shards composes (frustum grid build replicates, query
-            # shards by rays); slab decomposition is world-grid-specific
-            assert not int(getattr(opt, "scene_shards", 0) or 0), (
-                "--wcoord_query 0 (perspective querier) does not compose "
-                "with --scene_shards (the slab decomposition is a world-"
-                "grid layout); use --ray_shards for multi-chip")
             print("[scene_model] wcoord_query=0: per-frame perspective-space "
                   "querier (reference query_point_indices.py); growing "
                   "probes still use the world grid")
+            if int(getattr(opt, "scene_shards", 0) or 0):
+                # round-4: slab-sharded perspective RENDERING is supported
+                # (render_rays_spatial_perspective: per-shard frustum
+                # grids over the perspective halo); sharded TRAINING stays
+                # world-space (optimize() raises)
+                print("[scene_model] perspective x --scene_shards: "
+                      "sharded rendering (training stays world-space)")
 
     # ------------------------------------------------------------- checkpoints
 
@@ -314,18 +315,30 @@ class SceneModel:
             print(f"[scene_shards] {n} shards requested but only "
                   f"{len(jax.devices())} devices; rendering replicated")
             return
+        if self.perspective and self.pspec is None:
+            # the perspective halo width depends on the frustum spec,
+            # known only once a frame's intrinsics arrive (ensure_pspec
+            # finishes the setup)
+            self._pending_spatial_cloud = cloud
+            return
         from ..parallel import (make_mesh, build_sharded_scene,
-                                shard_scene_put)
+                                shard_scene_put, perspective_halo_voxels)
         self.mesh = make_mesh(n)
-        scene, self.sspec = build_sharded_scene(cloud, self.spec, n)
+        halo = (perspective_halo_voxels(self.spec, self.pspec)
+                if self.perspective else None)
+        scene, self.sspec = build_sharded_scene(
+            cloud, self.spec, n, halo_override=halo,
+            build_tables=not self.perspective)
         self.sharded_scene = shard_scene_put(scene, self.mesh)
         self._spatial_fns = {}
         self._spatial_tstate = None  # re-shard resets per-point opt state
         #                              (topology changed, like _rebuild)
         print(f"[scene_shards] scene sharded over {n} devices: "
-              f"{self.sspec.cap_pts} pts/shard (of {cloud.capacity}), "
-              f"{self.sspec.max_d_s} cache rows/shard "
-              f"(of {self.grid.nbr_packed.shape[0]})")
+              f"{self.sspec.cap_pts} pts/shard (of {cloud.capacity})"
+              + (f", halo {self.sspec.halo} (perspective)"
+                 if self.perspective else
+                 f", {self.sspec.max_d_s} cache rows/shard "
+                 f"(of {self.grid.nbr_packed.shape[0]})"))
 
     def setup_from_points(self, xyz: np.ndarray, feats: Optional[np.ndarray],
                           labels: Optional[np.ndarray],
@@ -401,11 +414,23 @@ class SceneModel:
         self.pspec = spec
         print(f"[scene_model] perspective frustum grid: vdim={spec.vdim} "
               f"max_o={spec.max_o} P={spec.P}")
+        pending = getattr(self, "_pending_spatial_cloud", None)
+        if pending is not None:
+            # --scene_shards deferred until the frustum spec (and so the
+            # perspective halo width) was known
+            self._pending_spatial_cloud = None
+            self._setup_spatial(pending)
 
     # ---------------------------------------------------------------- training
 
     def optimize(self, batch: Dict, key) -> Dict[str, float]:
-        if self.sharded_scene is not None:
+        if self.sharded_scene is not None or \
+                getattr(self, "_pending_spatial_cloud", None) is not None:
+            if self.perspective:
+                raise NotImplementedError(
+                    "--wcoord_query 0 composes with --scene_shards for "
+                    "RENDERING only; sharded training is world-space "
+                    "(drop --scene_shards or use --ray_shards to train)")
             return self._optimize_spatial(batch, key)
         if self.ray_mesh is not None:
             from ..parallel import sharded_train_step
@@ -617,10 +642,12 @@ class SceneModel:
         batching dispatches amortizes it G-fold."""
         raydir = np.asarray(item["raydir"], np.float32)
         R = len(raydir)
+        if self.perspective:
+            # must run before the sharded check: the perspective sharded
+            # scene is built lazily once the frustum spec is known
+            self.ensure_pspec(item)
         if self.sharded_scene is not None:
             return self._render_image_spatial(item, raydir, chunk_rays)
-        if self.perspective:
-            self.ensure_pspec(item)
         G = max(1, int(chunks_per_dispatch))
         # --chunk_stack B: render B chunks per lax.map body on the batch
         # axis (single batched gathers); G stays the per-dispatch total
@@ -701,14 +728,22 @@ class SceneModel:
         import functools
 
         def make_go(cfg):
-            sspec, mesh = self.sspec, self.mesh
+            sspec, mesh, pspec = self.sspec, self.mesh, self.pspec
+            perspective = self.perspective
 
             @jax.jit
             def go(params, scene, campos, rd, rot, near, far, bg):
-                out = render_rays_spatial(
-                    params, scene, sspec, cfg, mesh, campos=campos,
-                    raydir=rd, camrotc2w=rot, near=near, far=far,
-                    bg_color=bg)
+                if perspective:
+                    from ..parallel import render_rays_spatial_perspective
+                    out = render_rays_spatial_perspective(
+                        params, scene, sspec, pspec, cfg, mesh,
+                        campos=campos, raydir=rd, camrotc2w=rot,
+                        near=near, far=far, bg_color=bg)
+                else:
+                    out = render_rays_spatial(
+                        params, scene, sspec, cfg, mesh, campos=campos,
+                        raydir=rd, camrotc2w=rot, near=near, far=far,
+                        bg_color=bg)
                 return (out["coarse_raycolor"][0],
                         out.get("attr_dedup_overflow", jnp.asarray(0)))
             return go

@@ -485,3 +485,117 @@ def test_spatial_train_step_ignores_attr_dedup(scene):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         grads["plain"][1:], grads["dedup"][1:])
+
+
+def test_spatial_perspective_render_matches_single_device(scene):
+    """Round-4: --wcoord_query 0 composes with --scene_shards. The slab-
+    sharded perspective render (per-shard frustum grids, perspective halo,
+    psum merge) must match the single-device perspective path."""
+    import dataclasses
+    from sgnerf_tpu.models.renderer import render_rays_perspective
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+    from sgnerf_tpu.parallel import (render_rays_spatial_perspective,
+                                     perspective_halo_voxels)
+
+    cloud, spec, grid, cfg, params = scene
+    campos, raydir, rot = _rays(256, seed=31)
+    bg = jnp.ones(3)
+    W, H = 64, 48
+    intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    pspec = perspective_spec_from_camera(
+        intr, W, H, near=1.0, far=5.0, vsize=[0.06] * 3, vscale=[1, 1, 1],
+        kernel_size=[3, 3, 3], max_o=65536, P=16)
+
+    ref = render_rays_perspective(
+        params, cloud, pspec, cfg, campos=campos, raydir=raydir,
+        camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+
+    mesh = make_mesh()
+    halo = perspective_halo_voxels(spec, pspec)
+    assert halo > 2  # genuinely wider than the world kernel halo
+    sharded, sspec = build_sharded_scene(
+        cloud, spec, mesh.devices.size, halo_override=halo,
+        build_tables=False)
+    sharded = shard_scene_put(sharded, mesh)
+    out = render_rays_spatial_perspective(
+        params, sharded, sspec, pspec, cfg, mesh, campos=campos,
+        raydir=raydir, camrotc2w=rot, near=1.0, far=5.0, bg_color=bg)
+
+    np.testing.assert_array_equal(np.asarray(out["ray_mask"]),
+                                  np.asarray(ref["ray_mask"]))
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["coarse_point_opacity"]),
+                               np.asarray(ref["coarse_point_opacity"]),
+                               atol=2e-5, rtol=1e-4)
+    assert float(jnp.sum(out["ray_mask"])) > 32
+
+
+@pytest.mark.slow
+def test_scene_model_perspective_scene_shards_render(tmp_path):
+    """SceneModel with --wcoord_query 0 AND --scene_shards: the sharded
+    perspective render_image must equal the un-sharded one; training with
+    the combination raises a clear error."""
+    from sgnerf_tpu.runtime.scene_model import SceneModel
+    from sgnerf_tpu.options.options import TrainOptions
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+
+    def mk_opt(extra):
+        return TrainOptions().parse([
+            "--name", "psp", "--checkpoints_dir", str(tmp_path),
+            "--z_depth_dim", "24", "--SR", "4", "--K", "4", "--P", "8",
+            "--max_o", "8192", "--vsize", "0.08", "0.08", "0.08",
+            "--vscale", "1", "1", "1", "--kernel_size", "3", "3", "3",
+            "--radius_limit_scale", "4", "--agg_dist_pers", "20",
+            "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+            "--point_features_dim", "32", "--num_feat_freqs", "3",
+            "--dist_xyz_freq", "5", "--num_viewdir_freqs", "4",
+            "--act_type", "LeakyReLU", "--shading_color_mlp_layer", "4",
+            "--shading_feature_mlp_layer1", "2",
+            "--which_ray_generation", "near_far_linear",
+            "--which_render_func", "radiance", "--which_blend_func", "alpha",
+            "--which_tonemap_func", "off", "--raydist_mode_unit", "1",
+            "--color_loss_items", "ray_masked_coarse_raycolor",
+            "--color_loss_weights", "1.0",
+            "--ranges", "-3", "-3", "-3", "3", "3", "3",
+            "--img_wh", "32", "24",
+            "--wcoord_query", "0",
+        ] + extra)
+
+    W, H = 32, 24
+    intr = np.eye(3, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 25.0
+    intr[0, 2], intr[1, 2] = W / 2, H / 2
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    d = np.stack([(xs.reshape(-1) - W / 2) / 25.0,
+                  (ys.reshape(-1) - H / 2) / 25.0,
+                  np.ones(W * H)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    item = {"raydir": d, "campos": np.array([0, 0, -3.0], np.float32),
+            "camrotc2w": np.eye(3, dtype=np.float32),
+            "near": 1.0, "far": 5.0, "bg_color": np.ones(3, np.float32),
+            "intrinsic": intr}
+
+    m0 = SceneModel(mk_opt([]))
+    m0.setup_from_points(xyz, None, None)
+    col0 = m0.render_image(item, chunk_rays=256)
+
+    m8 = SceneModel(mk_opt(["--scene_shards", "8"]))
+    m8.setup_from_points(xyz, None, None)
+    col8 = m8.render_image(item, chunk_rays=256)
+    assert m8.sharded_scene is not None          # built lazily at render
+    np.testing.assert_allclose(col8, col0, atol=3e-5, rtol=1e-4)
+
+    batch = {"campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+             "raydir": jnp.asarray(d[None, :64]),
+             "camrotc2w": jnp.eye(3)[None],
+             "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+             "bg_color": jnp.ones(3),
+             "gt_image": jnp.zeros((1, 64, 3))}
+    with pytest.raises(NotImplementedError):
+        m8.optimize(batch, jax.random.key(0))
