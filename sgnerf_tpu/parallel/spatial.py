@@ -247,9 +247,11 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
             # perspective-only scenes (wcoord_query=0): the per-frame
             # frustum grid is rebuilt inside the render, the world tables
             # would never be read
-            occ_l.append(jnp.zeros((0, 0, 0), jnp.uint8))
-            dil_l.append(jnp.zeros((0, 0, 0), jnp.int32))
-            nbr_l.append(jnp.zeros((0, 0), jnp.int16))
+            # (1,1,1) placeholders, not zero-size: a (n,0,...) leaf
+            # cannot carry a per-shard sharding through shard_map
+            occ_l.append(jnp.zeros((1, 1, 1), jnp.uint8))
+            dil_l.append(jnp.full((1, 1, 1), -1, jnp.int32))
+            nbr_l.append(jnp.zeros((1, 2), jnp.int16))
         clouds.append(lcloud)
         g = np.full(cap_pts, cloud.capacity, np.int32)
         g[:len(sels[i])] = sels[i]
@@ -553,6 +555,121 @@ def perspective_halo_voxels(gspec: GridSpec, pspec: GridSpec) -> int:
     return int(np.ceil(dw / gspec.vsize[0])) + 1
 
 
+def _forward_local_perspective(params, cloud, own_lo, own_hi,
+                               sspec: SpatialSpec, pspec: GridSpec,
+                               cfg: RenderConfig, campos, raydir, camrotc2w,
+                               near, far, bg_color, key=None,
+                               is_train=False) -> Dict[str, jnp.ndarray]:
+    """Per-shard perspective-space forward (runs INSIDE shard_map): rebuild
+    the local frustum grid from the slab+halo points, psum-union the hit
+    mask, query+shade only OWNED shading points, psum-merge, march.
+    Train-time randomness (raygen jitter, shpnt_jitter) splits the key
+    exactly like renderer.render_rays_perspective so losses match the
+    single-device step given the same key (gather_round=stochastic is not
+    applied here, like _forward_local)."""
+    from ..ops.grid import build_point_grid
+    from ..ops.camera import w2pers, pers2w
+    from ..ops.query import bucket_candidates
+
+    gspec = sspec.gspec
+    B, R, _ = raydir.shape
+    X = gspec.vdim[0]
+
+    kj = ksj = None
+    if key is not None:
+        kj, ks, _kg = jax.random.split(key, 3)
+        ks, ksj = jax.random.split(ks)
+    raygen = find_ray_generation_method(cfg.which_ray_generation)
+    raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim,
+                             near=near, far=far,
+                             jitter=cfg.jitter if is_train else 0.0,
+                             key=kj, domain_size=cfg.domain_size)
+    pers_pts = w2pers(cloud.xyz, camrotc2w[0], campos[0])
+    lgrid = build_point_grid(pers_pts, cloud.active, pspec)
+    raypos_p = w2pers(raypos.reshape(-1, 3), camrotc2w[0],
+                      campos[0]).reshape(raypos.shape)
+
+    # (1) hit-mask union over shards -> identical compaction everywhere
+    c = voxel_coords(raypos_p, pspec)
+    inb = in_bounds(c, pspec)
+    cc = jnp.clip(c, 0, jnp.asarray(pspec.vdim, jnp.int32) - 1)
+    occ = take3d(lgrid.occ_mask, cc, pspec.vdim) > 0
+    hit = jax.lax.psum((inb & occ).astype(jnp.int32), "data") > 0
+    smask, gather_d = compact_hits(hit, cfg.SR)
+    loc_p = jnp.take_along_axis(raypos_p, gather_d[..., None], axis=2)
+    loc_p = jnp.where(smask[..., None], loc_p, 0.0)
+    # train-time shading-point depth jitter (renderer.py: reference
+    # query_point_indices.py:96,116-126) — shared key, so every shard
+    # jitters identically and ownership/KNN stay consistent
+    if is_train and ksj is not None and cfg.shpnt_jitter in ("uniform",
+                                                             "gaussian"):
+        vz = pspec.vsize[2]
+        if cfg.shpnt_jitter == "uniform":
+            j = (jax.random.uniform(ksj, loc_p.shape[:-1]) - 0.5) * vz
+        else:
+            j = jnp.clip(jax.random.normal(ksj, loc_p.shape[:-1]) * (vz / 4),
+                         -vz / 2, vz / 2)
+        loc_p = loc_p.at[..., 2].add(jnp.where(smask, j, 0.0))
+    loc_w = pers2w(loc_p.reshape(-1, 3), camrotc2w[0],
+                   campos[0]).reshape(loc_p.shape)
+    loc_w = jnp.where(smask[..., None], loc_w, 0.0)
+
+    # (2) ownership by the shading point's WORLD x voxel (border samples
+    # clamp to the boundary slab, which the halo covers)
+    gx = jnp.floor((loc_w[..., 0] - gspec.min_corner[0])
+                   / gspec.vsize[0]).astype(jnp.int32)
+    gx = jnp.clip(gx, 0, X - 1)
+    own = smask & (gx >= own_lo) & (gx < own_hi)
+
+    # (3) per-shard KNN over the local perspective grid
+    cand, cand_ok, d2, flat_shape = bucket_candidates(lgrid, loc_p, smask)
+    radius2 = jnp.asarray(cfg.radius_limit, d2.dtype) ** 2
+    ok = (cand_ok & jnp.where(radius2 > 0, d2 <= radius2, True)
+          & own[..., None, None])
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2m = jnp.where(ok, d2, big).reshape(flat_shape)
+    neg_top, top_idx = jax.lax.top_k(-d2m, cfg.K)
+    top_ok = -neg_top < big
+    sample_pidx = jnp.where(
+        top_ok, jnp.take_along_axis(cand.reshape(flat_shape), top_idx,
+                                    axis=-1), -1).astype(jnp.int32)
+
+    # (4) shade owned shading points; psum merges the disjoint slabs
+    (decoded, ray_valid, weight, conf_coefficient, sample_loc,
+     _) = gather_and_aggregate(params, cloud, cfg, sample_pidx, loc_w,
+                               campos, raydir, camrotc2w,
+                               is_train=is_train)
+    ownf = own.astype(decoded.dtype)
+    decoded = _merge(decoded * ownf[..., None])
+    weight = _merge(weight * ownf[..., None])
+    conf_coefficient = _merge(conf_coefficient * ownf[..., None])
+    ray_valid = jax.lax.psum(
+        (ray_valid & own).astype(jnp.int32), "data") > 0
+    ray_mask = jnp.any(ray_valid, axis=-1)
+
+    ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
+                               cfg.vsize[2], cfg.raydist_mode_unit)
+    render_func = find_render_function(cfg.which_render_func)
+    blend_func = find_blend_function(cfg.which_blend_func)
+    tone_map = find_tone_map(cfg.which_tonemap_func)
+    (ray_color, _, opacity, _, blend_weight, background_transmission,
+     _) = ray_march(ray_dist, ray_valid, decoded, render_func,
+                    blend_func, bg_color)
+    return {
+        "coarse_raycolor": tone_map(ray_color),
+        "coarse_point_opacity": opacity,
+        "coarse_is_background": background_transmission,
+        "queried_shading": jnp.broadcast_to(
+            jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
+                            ).astype(jnp.float32), (B, R, 3)),
+        "ray_mask": ray_mask,
+        "ray_valid": ray_valid,
+        "weight": jax.lax.stop_gradient(weight),
+        "blend_weight": jax.lax.stop_gradient(blend_weight),
+        "conf_coefficient": conf_coefficient,
+    }
+
+
 def render_rays_spatial_perspective(
         params: Dict[str, Any], scene: ShardedScene, sspec: SpatialSpec,
         pspec: GridSpec, cfg: RenderConfig, mesh: Mesh, *,
@@ -573,99 +690,15 @@ def render_rays_spatial_perspective(
     replicated march. Build the scene with
     build_sharded_scene(halo_override=perspective_halo_voxels(...)).
 
-    Eval-only (the reference composes neither: it is single-GPU
-    everywhere); training on sharded scenes stays world-space."""
-    from ..ops.grid import build_point_grid
-    from ..ops.camera import w2pers, pers2w
-    from ..ops.query import bucket_candidates
-    from ..ops.raygen import find_ray_generation_method
-
-    gspec = sspec.gspec
-    B, R, _ = raydir.shape
-    X = gspec.vdim[0]
+    Training on sharded perspective scenes: spatial_train_step(pspec=...)
+    routes its forward through the same per-shard body."""
 
     def body(params, cloud, own_lo, own_hi, campos, raydir, camrotc2w,
              near, far, bg_color):
         cloud = jax.tree.map(lambda a: a[0], cloud)
-        own_lo, own_hi = own_lo[0], own_hi[0]
-
-        raygen = find_ray_generation_method(cfg.which_ray_generation)
-        raypos, _, _, _ = raygen(campos, raydir, cfg.z_depth_dim,
-                                 near=near, far=far, jitter=0.0,
-                                 domain_size=cfg.domain_size)
-        pers_pts = w2pers(cloud.xyz, camrotc2w[0], campos[0])
-        lgrid = build_point_grid(pers_pts, cloud.active, pspec)
-        raypos_p = w2pers(raypos.reshape(-1, 3), camrotc2w[0],
-                          campos[0]).reshape(raypos.shape)
-
-        # (1) hit-mask union over shards -> identical compaction everywhere
-        c = voxel_coords(raypos_p, pspec)
-        inb = in_bounds(c, pspec)
-        cc = jnp.clip(c, 0, jnp.asarray(pspec.vdim, jnp.int32) - 1)
-        occ = take3d(lgrid.occ_mask, cc, pspec.vdim) > 0
-        hit = jax.lax.psum((inb & occ).astype(jnp.int32), "data") > 0
-        smask, gather_d = compact_hits(hit, cfg.SR)
-        loc_p = jnp.take_along_axis(raypos_p, gather_d[..., None], axis=2)
-        loc_p = jnp.where(smask[..., None], loc_p, 0.0)
-        loc_w = pers2w(loc_p.reshape(-1, 3), camrotc2w[0],
-                       campos[0]).reshape(loc_p.shape)
-        loc_w = jnp.where(smask[..., None], loc_w, 0.0)
-
-        # (2) ownership by the shading point's WORLD x voxel (border
-        # samples clamp to the boundary slab, which the halo covers)
-        gx = jnp.floor((loc_w[..., 0] - gspec.min_corner[0])
-                       / gspec.vsize[0]).astype(jnp.int32)
-        gx = jnp.clip(gx, 0, X - 1)
-        own = smask & (gx >= own_lo) & (gx < own_hi)
-
-        # (3) per-shard KNN over the local perspective grid
-        cand, cand_ok, d2, flat_shape = bucket_candidates(lgrid, loc_p,
-                                                          smask)
-        radius2 = jnp.asarray(cfg.radius_limit, d2.dtype) ** 2
-        ok = (cand_ok & jnp.where(radius2 > 0, d2 <= radius2, True)
-              & own[..., None, None])
-        big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-        d2m = jnp.where(ok, d2, big).reshape(flat_shape)
-        neg_top, top_idx = jax.lax.top_k(-d2m, cfg.K)
-        top_ok = -neg_top < big
-        sample_pidx = jnp.where(
-            top_ok, jnp.take_along_axis(cand.reshape(flat_shape), top_idx,
-                                        axis=-1), -1).astype(jnp.int32)
-
-        # (4) shade owned shading points; psum merges the disjoint slabs
-        (decoded, ray_valid, weight, conf_coefficient, sample_loc,
-         _) = gather_and_aggregate(params, cloud, cfg, sample_pidx, loc_w,
-                                   campos, raydir, camrotc2w,
-                                   is_train=False)
-        ownf = own.astype(decoded.dtype)
-        decoded = _merge(decoded * ownf[..., None])
-        weight = _merge(weight * ownf[..., None])
-        conf_coefficient = _merge(conf_coefficient * ownf[..., None])
-        ray_valid = jax.lax.psum(
-            (ray_valid & own).astype(jnp.int32), "data") > 0
-        ray_mask = jnp.any(ray_valid, axis=-1)
-
-        ray_dist = ray_dist_from_z(sample_loc[..., 2], ray_valid,
-                                   cfg.vsize[2], cfg.raydist_mode_unit)
-        render_func = find_render_function(cfg.which_render_func)
-        blend_func = find_blend_function(cfg.which_blend_func)
-        tone_map = find_tone_map(cfg.which_tonemap_func)
-        (ray_color, _, opacity, _, blend_weight, background_transmission,
-         _) = ray_march(ray_dist, ray_valid, decoded, render_func,
-                        blend_func, bg_color)
-        return {
-            "coarse_raycolor": tone_map(ray_color),
-            "coarse_point_opacity": opacity,
-            "coarse_is_background": background_transmission,
-            "queried_shading": jnp.broadcast_to(
-                jnp.logical_not(jnp.any(ray_valid, -1, keepdims=True)
-                                ).astype(jnp.float32), (B, R, 3)),
-            "ray_mask": ray_mask,
-            "ray_valid": ray_valid,
-            "weight": jax.lax.stop_gradient(weight),
-            "blend_weight": jax.lax.stop_gradient(blend_weight),
-            "conf_coefficient": conf_coefficient,
-        }
+        return _forward_local_perspective(
+            params, cloud, own_lo[0], own_hi[0], sspec, pspec, cfg,
+            campos, raydir, camrotc2w, near, far, bg_color)
 
     if bg_color is None:
         bg_color = jnp.ones(3, jnp.float32)
@@ -710,7 +743,8 @@ def create_spatial_train_state(params, scene: ShardedScene, tcfg
 
 def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
                        cfg: RenderConfig, tcfg, batch: Dict[str, Any],
-                       key: jax.Array, mesh: Mesh, return_grads: bool = False):
+                       key: jax.Array, mesh: Mesh, return_grads: bool = False,
+                       pspec=None):
     """One training step on a slab-sharded scene.
 
     Matches models/train.train_step on the equivalent replicated scene
@@ -729,12 +763,20 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
     xyz must be frozen (tcfg.xyz_grad == 0): moving points would invalidate
     the slab decomposition (the replicated path has the same grid-staleness
     constraint; reference fine-tuning also freezes xyz).
+
+    pspec: a perspective frustum GridSpec routes the forward through the
+    slab-sharded PERSPECTIVE querier (_forward_local_perspective; build the
+    scene with halo_override=perspective_halo_voxels(...)). No semantic
+    guidance there — the reference only added it to the world-coords
+    querier.
     """
     import optax
     from ..models.losses import compute_losses
     from ..models.train import make_optimizers, _point_subtree, _with_points
 
     assert not tcfg.xyz_grad, "sharded training requires frozen xyz"
+    assert pspec is None or not cfg.semantic_guidance, \
+        "perspective sharded training has no semantic guidance (reference parity)"
     net_tx, pts_tx = make_optimizers(tcfg)
 
     def body(params, scene, opt_net, opt_pts, step, campos, raydir,
@@ -747,12 +789,18 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
             pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
                    for k, v in pts.items()}
             lcloud = _with_points(cloud, pts)
-            out = _forward_local(
-                params, lcloud, scene.occ_mask[0], scene.dil_slot[0],
-                scene.nbr_packed[0], scene.x_off[0], scene.own_lo[0],
-                scene.own_hi[0], sspec, cfg, campos, raydir, camrotc2w,
-                near, far, bg_color, key=key, is_train=True,
-                pixel_label=pixel_label)
+            if pspec is not None:
+                out = _forward_local_perspective(
+                    params, lcloud, scene.own_lo[0], scene.own_hi[0],
+                    sspec, pspec, cfg, campos, raydir, camrotc2w, near,
+                    far, bg_color, key=key, is_train=True)
+            else:
+                out = _forward_local(
+                    params, lcloud, scene.occ_mask[0], scene.dil_slot[0],
+                    scene.nbr_packed[0], scene.x_off[0], scene.own_lo[0],
+                    scene.own_hi[0], sspec, cfg, campos, raydir, camrotc2w,
+                    near, far, bg_color, key=key, is_train=True,
+                    pixel_label=pixel_label)
             total, losses = compute_losses(
                 out, gt_image,
                 color_loss_items=tcfg.color_loss_items,
@@ -841,7 +889,7 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
 def spatial_train_step_multi(st: SpatialTrainState, sspec: SpatialSpec,
                              cfg: RenderConfig, tcfg,
                              batches: Dict[str, Any], keys: jax.Array,
-                             mesh: Mesh):
+                             mesh: Mesh, pspec=None):
     """G training steps on a slab-sharded scene in ONE dispatch
     (lax.scan over stacked (G,...) batches — the --steps_per_dispatch
     equivalent of models/train.train_step_multi; per-dispatch host enqueue
@@ -852,13 +900,15 @@ def spatial_train_step_multi(st: SpatialTrainState, sspec: SpatialSpec,
     measured drift ~2e-5 on 0.01% of attribute elements)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("sspec", "cfg", "tcfg"),
+    @functools.partial(jax.jit,
+                       static_argnames=("sspec", "cfg", "tcfg", "pspec"),
                        donate_argnums=(0,))
-    def go(st, sspec, cfg, tcfg, batches, keys):
+    def go(st, sspec, cfg, tcfg, batches, keys, pspec):
         def body(s, xs):
             b, k = xs
-            s2, losses = spatial_train_step(s, sspec, cfg, tcfg, b, k, mesh)
+            s2, losses = spatial_train_step(s, sspec, cfg, tcfg, b, k, mesh,
+                                            pspec=pspec)
             return s2, losses
         return jax.lax.scan(body, st, (batches, keys))
 
-    return go(st, sspec, cfg, tcfg, batches, keys)
+    return go(st, sspec, cfg, tcfg, batches, keys, pspec)

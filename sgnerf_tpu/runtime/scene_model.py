@@ -145,12 +145,12 @@ class SceneModel:
                   "querier (reference query_point_indices.py); growing "
                   "probes still use the world grid")
             if int(getattr(opt, "scene_shards", 0) or 0):
-                # round-4: slab-sharded perspective RENDERING is supported
-                # (render_rays_spatial_perspective: per-shard frustum
-                # grids over the perspective halo); sharded TRAINING stays
-                # world-space (optimize() raises)
+                # round-4: slab-sharded perspective rendering AND training
+                # (render_rays_spatial_perspective / spatial_train_step
+                # with pspec: per-shard frustum grids over the perspective
+                # halo); the scene builds lazily once intrinsics arrive
                 print("[scene_model] perspective x --scene_shards: "
-                      "sharded rendering (training stays world-space)")
+                      "sharded rendering + training")
 
     # ------------------------------------------------------------- checkpoints
 
@@ -424,13 +424,15 @@ class SceneModel:
     # ---------------------------------------------------------------- training
 
     def optimize(self, batch: Dict, key) -> Dict[str, float]:
-        if self.sharded_scene is not None or \
-                getattr(self, "_pending_spatial_cloud", None) is not None:
-            if self.perspective:
-                raise NotImplementedError(
-                    "--wcoord_query 0 composes with --scene_shards for "
-                    "RENDERING only; sharded training is world-space "
-                    "(drop --scene_shards or use --ray_shards to train)")
+        if getattr(self, "_pending_spatial_cloud", None) is not None:
+            # perspective + --scene_shards: the sharded scene builds once
+            # the frustum spec is known; train_ft calls ensure_pspec(item)
+            # before the first optimize, so if we are still pending here
+            # the caller skipped it
+            raise RuntimeError(
+                "perspective --scene_shards: call ensure_pspec(item) "
+                "before optimize() (the sharded scene builds lazily)")
+        if self.sharded_scene is not None:
             return self._optimize_spatial(batch, key)
         if self.ray_mesh is not None:
             from ..parallel import sharded_train_step
@@ -489,7 +491,8 @@ class SceneModel:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         self._spatial_tstate, losses = spatial_train_step_multi(
             self._spatial_tstate, self.sspec, self.cfg, self.tcfg, stacked,
-            keys, self.mesh)
+            keys, self.mesh,
+            pspec=self.pspec if self.perspective else None)
         G = len(batches)
         return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
 
@@ -506,7 +509,8 @@ class SceneModel:
                 st, step=self.state.step)
         self._spatial_tstate, losses = spatial_train_step(
             self._spatial_tstate, self.sspec, self.cfg, self.tcfg, batch,
-            key, self.mesh)
+            key, self.mesh,
+            pspec=self.pspec if self.perspective else None)
         return losses
 
     def _sync_from_spatial(self):

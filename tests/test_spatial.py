@@ -591,11 +591,97 @@ def test_scene_model_perspective_scene_shards_render(tmp_path):
     assert m8.sharded_scene is not None          # built lazily at render
     np.testing.assert_allclose(col8, col0, atol=3e-5, rtol=1e-4)
 
+    # perspective + scene_shards TRAINING: losses finite and decreasing
     batch = {"campos": jnp.asarray([[0.0, 0.0, -3.0]]),
              "raydir": jnp.asarray(d[None, :64]),
              "camrotc2w": jnp.eye(3)[None],
              "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
              "bg_color": jnp.ones(3),
-             "gt_image": jnp.zeros((1, 64, 3))}
-    with pytest.raises(NotImplementedError):
-        m8.optimize(batch, jax.random.key(0))
+             "gt_image": jnp.asarray(
+                 rng.uniform(0, 1, (1, 64, 3)).astype(np.float32))}
+    key = jax.random.key(0)
+    losses = []
+    for i in range(5):
+        key, k = jax.random.split(key)
+        losses.append(float(m8.optimize(batch, k)["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_spatial_perspective_train_step_matches_single_device(scene):
+    """spatial_train_step(pspec=...) — perspective training over the slab
+    decomposition — must reproduce the single-device perspective training
+    gradients (same key => same jitters on every shard)."""
+    import dataclasses
+    from sgnerf_tpu.models.losses import compute_losses
+    from sgnerf_tpu.models.renderer import render_rays_perspective
+    from sgnerf_tpu.models.train import (TrainConfig, _point_subtree,
+                                         _with_points)
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+    from sgnerf_tpu.parallel import perspective_halo_voxels
+    from sgnerf_tpu.parallel.spatial import (create_spatial_train_state,
+                                             spatial_train_step)
+
+    cloud, spec, grid, cfg, params = scene
+    tcfg = TrainConfig()
+    campos, raydir, rot = _rays(128, seed=41)
+    rng = np.random.default_rng(11)
+    batch = {
+        "campos": campos, "raydir": raydir, "camrotc2w": rot,
+        "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+        "bg_color": jnp.ones(3),
+        "gt_image": jnp.asarray(
+            rng.uniform(0, 1, size=(1, 128, 3)).astype(np.float32)),
+    }
+    key = jax.random.key(9)
+    W, H = 64, 48
+    intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    pspec = perspective_spec_from_camera(
+        intr, W, H, near=1.0, far=5.0, vsize=[0.06] * 3, vscale=[1, 1, 1],
+        kernel_size=[3, 3, 3], max_o=65536, P=16)
+
+    mesh = make_mesh()
+    sharded, sspec = build_sharded_scene(
+        cloud, spec, mesh.devices.size,
+        halo_override=perspective_halo_voxels(spec, pspec),
+        build_tables=False)
+    sharded = shard_scene_put(sharded, mesh)
+    sst = create_spatial_train_state(params, sharded, tcfg)
+    sst, slosses, (sg_net, sg_pts) = spatial_train_step(
+        sst, sspec, cfg, tcfg, batch, key, mesh, return_grads=True,
+        pspec=pspec)
+
+    def loss_fn(p, pts):
+        pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
+               for k, v in pts.items()}
+        out = render_rays_perspective(
+            p, _with_points(cloud, pts), pspec, cfg,
+            campos=batch["campos"], raydir=batch["raydir"],
+            camrotc2w=batch["camrotc2w"], near=batch["near"],
+            far=batch["far"], bg_color=batch["bg_color"],
+            key=key, is_train=True)
+        total, _ = compute_losses(
+            out, batch["gt_image"],
+            color_loss_items=tcfg.color_loss_items,
+            color_loss_weights=tcfg.color_loss_weights,
+            zero_one_loss_items=tcfg.zero_one_loss_items,
+            zero_one_loss_weights=tcfg.zero_one_loss_weights,
+            sparse_loss_weight=tcfg.sparse_loss_weight,
+            zero_epsilon=tcfg.zero_epsilon)
+        return total
+
+    rtotal, (rg_net, rg_pts) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1))(params, _point_subtree(cloud))
+
+    assert abs(float(slosses["total"]) - float(rtotal)) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3),
+        sg_net, rg_net)
+    gids = np.asarray(sst.scene.gid)
+    ref = np.asarray(rg_pts["embedding"])
+    got_all = np.asarray(sg_pts["embedding"])
+    for i in range(gids.shape[0]):
+        valid = gids[i] < cloud.capacity
+        np.testing.assert_allclose(got_all[i][valid], ref[gids[i][valid]],
+                                   atol=1e-5, rtol=1e-3)
