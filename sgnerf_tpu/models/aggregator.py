@@ -38,6 +38,21 @@ class AggregatorConfig:
     shading_feature_mlp_layer2: int = 0
     shading_feature_mlp_layer2_bpnet: int = 0
     shading_feature_mlp_layer3: int = 0
+    shading_feature_mlp_layer4: int = 0   # yuze variant only (see agg_variant)
+    shading_feature_mlp_linear: int = 0   # yuze variant only
+    agg_variant: str = "default"     # "yuze": the reference's rotation-
+    #                                  invariance aggregator variant
+    #                                  (point_aggregators_yuze.py) — active
+    #                                  block4 (plane-projected cos-angle
+    #                                  features between stored dirs and the
+    #                                  viewdir, PE'd), optional block_linear,
+    #                                  and the alpha head fed from the
+    #                                  PRE-block3 features (feat_branch,
+    #                                  yuze :649-651,:719,:737) so density is
+    #                                  view/rotation independent. Selected
+    #                                  via --which_agg_model viewmlp_yuze
+    #                                  (our extension; the reference keeps
+    #                                  the variant as an unreachable file).
     shading_alpha_mlp_layer: int = 1
     shading_color_mlp_layer: int = 4
     shading_color_channel_num: int = 3
@@ -160,7 +175,7 @@ def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig,
                            dtype=jnp.float32) -> Dict[str, Any]:
     gain = float(np.sqrt(2.0)) if cfg.act_type == "ReLU" else \
         float(np.sqrt(2.0 / (1 + 0.01 ** 2)))
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     params: Dict[str, Any] = {}
     c = cfg.block1_in
     if cfg.shading_feature_mlp_layer1 > 0:
@@ -177,6 +192,25 @@ def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig,
             (4 if "1" in cfg.point_dir_mode else 0)
         sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer3
         params["block3"] = _mlp_init(k3, sizes, gain, dtype)
+        c = cfg.shading_feature_num
+    if cfg.agg_variant == "yuze" and cfg.shading_feature_mlp_layer4 > 0:
+        # yuze :382-394 — input = running width + PE(3 plane cos-angles,
+        # num_feat_freqs => 6*freqs channels) + raw point color. The
+        # reference init adds the angle channels unconditionally but its
+        # forward only concatenates them when point dirs exist (it assumes
+        # point_dir_mode "1" and would crash otherwise); we gate init and
+        # forward identically so other modes still run.
+        cin = c + \
+            (6 * cfg.num_feat_freqs if "1" in cfg.point_dir_mode else 0) + \
+            (3 if "1" in cfg.point_color_mode else 0)
+        sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer4
+        params["block4"] = _mlp_init(k6, sizes, gain, dtype)
+        c = cfg.shading_feature_num
+    if cfg.agg_variant == "yuze" and cfg.shading_feature_mlp_linear > 0:
+        # yuze :396-407 — depth is shading_feature_mlp_layer4, NOT
+        # shading_feature_mlp_linear (reference quirk, mirrored)
+        sizes = [c] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer4
+        params["block_linear"] = _mlp_init(k7, sizes, gain, dtype)
         c = cfg.shading_feature_num
 
     # alpha head: (layer-1) hidden layers of width C/2 then Linear->1
@@ -268,6 +302,32 @@ def _rot_vec(v, rot):
     if rot.ndim == 2:
         return v @ rot.T
     return jnp.einsum("...i,...ji->...j", v, rot)
+
+
+def _yuze_angle_features(sd, ov, freqs):
+    """Rotation-invariant angle features of the yuze aggregator variant
+    (point_aggregators_yuze.py:686-703): the stored per-point dir and the
+    view dir are projected onto the xy / xz / yz planes and compared by
+    signed cosine; the (roll, theta, phi) triplet is positionally encoded.
+
+    Mirrored exactly, including the reference's quirks: the "clockwise" sign
+    test uses `a0*b1 - a1*b1` (b1 in both terms), the features are cosines
+    (not angles), and the concat order is [row, theta, fai]. One dense-mask
+    delta: the reference computes on compacted valid rows only, so we clip
+    the norm denominators (masked rows have zero dirs; an unclipped divide
+    would propagate NaN through the dense matmul)."""
+    def cosang(a, b):
+        na = jnp.sqrt(jnp.clip(jnp.sum(a * a, axis=-1), min=1e-24))
+        nb = jnp.sqrt(jnp.clip(jnp.sum(b * b, axis=-1), min=1e-24))
+        c = jnp.sum(a * b, axis=-1) / na / nb
+        sign = jnp.where(
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 1] > 0, 1.0, -1.0)
+        return sign * c
+    theta = cosang(sd[..., :2], ov[..., :2])      # xy plane
+    row = cosang(sd[..., ::2], ov[..., ::2])      # xz plane
+    fai = cosang(sd[..., 1:], ov[..., 1:])        # yz plane
+    ang = jnp.stack([row, theta, fai], axis=-1)
+    return positional_encoding(ang, freqs)
 
 
 def _gradient_clamp(x, lo=0.0001, hi=1.0):
@@ -378,6 +438,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
 
     use_fused = (
         cfg.fused_mlp == "pallas"
+        and cfg.agg_variant == "default"
         and cfg.shading_feature_mlp_layer1 > 0
         and cfg.shading_feature_mlp_layer2_bpnet == 0
         and cfg.shading_feature_mlp_layer3 == 0
@@ -466,6 +527,15 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
                     [feat, sampled_label_embedding], axis=-1)
             feat = _mlp_apply(cfg, params["block2_bpnet"], feat)
 
+        feat_branch = feat
+        if cfg.agg_variant == "yuze":
+            # yuze :649-651: optional block_linear, then the pre-block3
+            # features are saved — the alpha head reads THEM (view- and
+            # rotation-independent density); block3/block4 feed color only
+            if cfg.shading_feature_mlp_linear > 0:
+                feat = _mlp_apply(cfg, params["block_linear"], feat)
+            feat_branch = feat
+
         if cfg.shading_feature_mlp_layer3 > 0:
             # per-neighbor color + dir features (reference :638-653): stored
             # dirs rotated into the canonical frame, compared to the viewdir
@@ -482,8 +552,25 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             feat = _mlp_apply(cfg, params["block3"],
                               jnp.concatenate(parts, axis=-1))
 
+        if cfg.agg_variant == "yuze" and cfg.shading_feature_mlp_layer4 > 0:
+            # yuze :670-705: color + PE(plane cos-angle triplet) -> block4
+            parts = [feat]
+            if "1" in cfg.point_color_mode and sampled_color is not None:
+                parts.append(sampled_color)
+            if "1" in cfg.point_dir_mode and sampled_dir is not None:
+                sd = sampled_dir
+                if Rw2c is not None:
+                    sd = _rot_vec(sd, Rw2c)
+                ov = jnp.broadcast_to(ori_viewdirs[..., None, :], sd.shape)
+                parts.append(
+                    _yuze_angle_features(sd, ov, cfg.num_feat_freqs))
+            feat = _mlp_apply(cfg, params["block4"],
+                              jnp.concatenate(parts, axis=-1))
+
         # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
-        raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat,
+        # (yuze: density from feat_branch — the pre-block3/4 features)
+        alpha_src = feat_branch if cfg.agg_variant == "yuze" else feat
+        raw_alpha = _mlp_apply(cfg, params["alpha_branch"], alpha_src,
                                act_last=False)
         alpha_nb = raw2out_density(cfg, raw_alpha)      # (B,R,SR,K,1)
         alpha_nb = alpha_nb * mask[..., None]

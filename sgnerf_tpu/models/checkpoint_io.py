@@ -118,6 +118,7 @@ def convert_reference_checkpoint(sd: Dict[str, np.ndarray]):
     color/feats/label/Rw2c (None when absent)."""
     params: Dict[str, Any] = {}
     for block in ("block1", "block2", "block2_bpnet", "block3",
+                  "block4", "block_linear",     # yuze aggregator variant
                   "alpha_branch", "color_branch"):
         layers = _seq_layers(sd, f"aggregator.{block}")
         if layers:

@@ -387,6 +387,11 @@ def configs_from_opt(opt):
         import jax
         knn = ("fused" if jax.default_backend() != "cpu"
                and opt.cache_dtype == "bfloat16" else "exact")
+    wam = getattr(opt, "which_agg_model", "viewmlp")
+    if wam not in ("viewmlp", "viewmlp_yuze"):
+        raise ValueError(
+            f"--which_agg_model must be viewmlp or viewmlp_yuze, got {wam!r}")
+    agg_variant = "yuze" if wam == "viewmlp_yuze" else "default"
     agg = AggregatorConfig(
         point_features_dim=opt.point_features_dim,
         shading_feature_num=opt.shading_feature_num,
@@ -394,6 +399,15 @@ def configs_from_opt(opt):
         shading_feature_mlp_layer2=opt.shading_feature_mlp_layer2,
         shading_feature_mlp_layer2_bpnet=opt.shading_feature_mlp_layer2_bpnet,
         shading_feature_mlp_layer3=opt.shading_feature_mlp_layer3,
+        # layer4/linear are live only in the yuze variant (the reference's
+        # main aggregator keeps them commented out; the defaults layer4=1 /
+        # linear=0 mirror the reference flag defaults, so they must not leak
+        # into the default viewmlp architecture)
+        shading_feature_mlp_layer4=(opt.shading_feature_mlp_layer4
+                                    if agg_variant == "yuze" else 0),
+        shading_feature_mlp_linear=(opt.shading_feature_mlp_linear
+                                    if agg_variant == "yuze" else 0),
+        agg_variant=agg_variant,
         shading_alpha_mlp_layer=opt.shading_alpha_mlp_layer,
         shading_color_mlp_layer=opt.shading_color_mlp_layer,
         shading_color_channel_num=opt.shading_color_channel_num,

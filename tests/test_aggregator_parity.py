@@ -276,3 +276,115 @@ def test_rotation_invariance_with_rw2c():
     out_p, w_p = run(rot, per)                 # per-neighbor path
     np.testing.assert_allclose(out_p, base_out, atol=2e-4)
     np.testing.assert_allclose(w_p, base_w, atol=2e-4)
+
+
+# ------------------------------------------------------------ yuze variant
+
+def _ref_yuze_aggregator(torch, layer3=2, layer4=1, linear=0):
+    """Construct the reference's yuze aggregator VARIANT
+    (point_aggregators_yuze.py — active block4 angle features, optional
+    block_linear, alpha from the pre-block3 feat_branch)."""
+    _shim_scipy()
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+        mod = importlib.import_module(
+            "models.aggregators.point_aggregators_yuze")
+    finally:
+        sys.path.pop(0)
+    _, opt = _ref_aggregator(torch)     # reuse the flag template
+    opt.shading_feature_mlp_layer3 = layer3
+    opt.shading_feature_mlp_layer4 = layer4
+    opt.shading_feature_mlp_linear = linear
+    return mod.PointAggregator(opt), opt
+
+
+@pytest.mark.parametrize("layer3,layer4,linear,rotate",
+                         [(0, 1, 0, False),   # canonical: block4 only
+                          (0, 2, 1, False),   # deep block4 + block_linear
+                          (0, 1, 0, True)])   # uniform Rw2c rotation
+def test_yuze_variant_matches_reference(layer3, layer4, linear, rotate):
+    """Our agg_variant='yuze' vs the actual reference
+    point_aggregators_yuze.py module, weight-for-weight.
+
+    Parity domain is layer3=0: the reference module itself CRASHES when
+    layer3>0 and layer4>0 are combined (block3 compacts sampled_color/
+    sampled_dir by pnt_mask_flat, then block4 re-indexes the already-
+    compacted tensors with the full-length mask — IndexError at yuze
+    :671-685), so there is no reference semantics to match there. Our
+    dense-masked version has no compaction and supports the combination."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    ref, _ = _ref_yuze_aggregator(torch, layer3, layer4, linear)
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+    assert "block4" in params
+    if linear:
+        assert "block_linear" in params
+
+    data = _inputs(seed=11)
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+    rot = (_rand_rots(np.random.default_rng(13), ()) if rotate
+           else np.eye(3, dtype=np.float32))
+
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, ref_w, ref_conf = ref(
+            t["sampled_color"], None, torch.from_numpy(rot),
+            t["sampled_dir"], t["sampled_conf"], t["sampled_embedding"],
+            t["sampled_xyz_pers"], t["sampled_xyz"], t["sample_pnt_mask"],
+            t["sample_loc"], t["sample_loc_w"], t["sample_ray_dirs"],
+            vsize, 0.0)
+
+    cfg = AggregatorConfig(agg_variant="yuze",
+                           shading_feature_mlp_layer3=layer3,
+                           shading_feature_mlp_layer4=layer4,
+                           shading_feature_mlp_linear=linear)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, w, conf = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.asarray(rot), vsize=vsize)
+
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_yuze_roundtrip_export():
+    """block4/block_linear survive an export->convert cycle
+    (checkpoint_io.py block list)."""
+    import jax
+    from sgnerf_tpu.models.aggregator import init_aggregator_params
+    from sgnerf_tpu.models.checkpoint_io import export_reference_checkpoint
+    torch = pytest.importorskip("torch")
+    import tempfile, os
+    cfg = AggregatorConfig(agg_variant="yuze", shading_feature_mlp_layer3=1,
+                           shading_feature_mlp_layer4=1,
+                           shading_feature_mlp_linear=1)
+    params = init_aggregator_params(jax.random.key(3), cfg)
+    pts = {"xyz": np.zeros((4, 3), np.float32),
+           "embedding": np.zeros((4, 32), np.float32)}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.pth")
+        export_reference_checkpoint(
+            {k: v for k, v in params.items()}, pts, p)
+        sd = {k: v.numpy() for k, v in torch.load(p).items()}
+    back, _ = convert_reference_checkpoint(sd)
+    for blk in ("block1", "block3", "block4", "block_linear",
+                "alpha_branch", "color_branch"):
+        assert blk in back, blk
+        for a, b in zip(params[blk], back[blk]):
+            np.testing.assert_array_equal(np.asarray(a["w"]), b["w"])
+            np.testing.assert_array_equal(np.asarray(a["b"]), b["b"])

@@ -133,3 +133,36 @@ def test_train_ft_cli_perspective_querier(scene_dir, tmp_path):  # noqa: F811
         "--test_num_step", "3"] + COMMON + ["--wcoord_query", "0"])
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "mean psnr" in r2.stdout
+
+
+@pytest.mark.slow
+def test_train_ft_cli_yuze_variant(scene_dir, tmp_path):  # noqa: F811
+    """--which_agg_model viewmlp_yuze trains and evaluates end-to-end: the
+    yuze aggregator variant (point_aggregators_yuze.py — block4 angle
+    features, alpha from feat_branch) is live through options ->
+    configs_from_opt -> train step -> checkpoint -> test_ft."""
+    args = ["--name", "yuze", "--data_root", scene_dir,
+            "--checkpoints_dir", str(tmp_path),
+            "--maximum_step", "4", "--save_iter_freq", "4",
+            "--test_freq", "0", "--print_freq", "2", "--test_num", "1",
+            "--which_agg_model", "viewmlp_yuze",
+            "--shading_feature_mlp_layer4", "1",
+            "--shading_feature_mlp_linear", "1",
+            "--point_conf_mode", "1", "--point_color_mode", "1",
+            "--point_dir_mode", "1",
+            ] + COMMON
+    r = _run("train_ft.py", args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "training done" in r.stdout
+
+    r2 = _run("test_ft.py", [
+        "--name", "yuze", "--data_root", scene_dir,
+        "--checkpoints_dir", str(tmp_path), "--resume_iter", "latest",
+        "--test_num_step", "3",
+        "--which_agg_model", "viewmlp_yuze",
+        "--shading_feature_mlp_layer4", "1",
+        "--shading_feature_mlp_linear", "1",
+        "--point_conf_mode", "1", "--point_color_mode", "1",
+        "--point_dir_mode", "1"] + COMMON)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "mean psnr" in r2.stdout
