@@ -163,6 +163,19 @@ run("train.py", ["--name", "tpu_ff", "--data_root", data,
                              "--color_loss_items", "coarse_raycolor",
                              "--color_loss_weights", "1.0"])
 
+# yuze aggregator variant (block4 angle features + block_linear + alpha
+# from feat_branch; the un-fused XLA shading path on TPU)
+run("train_ft.py", ["--name", "tpu_yuze", "--data_root", data,
+                    "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+                    "--maximum_step", "4", "--save_iter_freq", "4",
+                    "--test_freq", "0", "--print_freq", "2",
+                    "--test_num", "1",
+                    "--which_agg_model", "viewmlp_yuze",
+                    "--shading_feature_mlp_layer4", "1",
+                    "--shading_feature_mlp_linear", "1",
+                    "--point_conf_mode", "1", "--point_color_mode", "1",
+                    "--point_dir_mode", "1"] + COMMON)
+
 # MVS bootstrap branch B (train_ft --load_points 0: MVSNet depth
 # inference -> cross-view filter -> per-view embedding; random-init nets,
 # so the confidence/consistency filters are relaxed to keep points)

@@ -394,6 +394,13 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
     #                                    {"march": (B,R,4) [color | bgT]}
     """Dense masked aggregation. Returns (decoded (B,R,SR,4), ray_valid
     (B,R,SR) bool, weight (B,R,SR,K), conf_coefficient (B,R,SR,K))."""
+    if cfg.agg_intrp_order not in (1, 2):
+        # the reference's order-0 decode branch is missing
+        # (point_aggregators.py:715/:745 if==1/elif==2), so its module
+        # raises UnboundLocalError at forward for any other value — we
+        # fail at the same point with a clear message
+        raise ValueError(
+            f"agg_intrp_order must be 1 or 2, got {cfg.agg_intrp_order}")
     B, R, SR, K, _ = sampled_embedding.shape
     mask = sample_pnt_mask
     ray_valid = jnp.any(mask, axis=-1)  # (B,R,SR)
@@ -567,17 +574,33 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             feat = _mlp_apply(cfg, params["block4"],
                               jnp.concatenate(parts, axis=-1))
 
-        # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
-        # (yuze: density from feat_branch — the pre-block3/4 features)
-        alpha_src = feat_branch if cfg.agg_variant == "yuze" else feat
-        raw_alpha = _mlp_apply(cfg, params["alpha_branch"], alpha_src,
-                               act_last=False)
-        alpha_nb = raw2out_density(cfg, raw_alpha)      # (B,R,SR,K,1)
-        alpha_nb = alpha_nb * mask[..., None]
-        alpha = jnp.sum(alpha_nb * w, axis=-2)          # (B,R,SR,1)
+        if cfg.agg_intrp_order == 1:
+            # ---- interpolate-then-decode (reference :715-742, the DTU
+            # generalizable-inference configs dev_scripts/dtu_test_inf/*):
+            # per-neighbor features weight-sum over K FIRST, then ONE
+            # alpha decode per shading point (no per-neighbor softplus)
+            # and the color head on the same aggregated features.
+            # agg_intrp_order=0 is dead in the reference too — its decode
+            # branch is missing (if ==1 / elif ==2 at :715/:745), so the
+            # torch module raises UnboundLocalError; we reject it at
+            # config build instead of silently decoding as another order.
+            feat = feat * mask[..., None]
+            feat_agg = jnp.sum(feat * w, axis=-2)       # (B,R,SR,C)
+            raw_alpha = _mlp_apply(cfg, params["alpha_branch"], feat_agg,
+                                   act_last=False)
+            alpha = raw2out_density(cfg, raw_alpha)     # (B,R,SR,1)
+        else:
+            # ---- agg_intrp_order == 2: per-neighbor alpha then interpolate
+            # (yuze: density from feat_branch — the pre-block3/4 features)
+            alpha_src = feat_branch if cfg.agg_variant == "yuze" else feat
+            raw_alpha = _mlp_apply(cfg, params["alpha_branch"], alpha_src,
+                                   act_last=False)
+            alpha_nb = raw2out_density(cfg, raw_alpha)      # (B,R,SR,K,1)
+            alpha_nb = alpha_nb * mask[..., None]
+            alpha = jnp.sum(alpha_nb * w, axis=-2)          # (B,R,SR,1)
 
-        feat = feat * mask[..., None]
-        feat_agg = jnp.sum(feat * w, axis=-2)           # (B,R,SR,C)
+            feat = feat * mask[..., None]
+            feat_agg = jnp.sum(feat * w, axis=-2)           # (B,R,SR,C)
 
     if color is None:
         color_in = jnp.concatenate([feat_agg, viewdirs], axis=-1)

@@ -392,6 +392,12 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--which_agg_model must be viewmlp or viewmlp_yuze, got {wam!r}")
     agg_variant = "yuze" if wam == "viewmlp_yuze" else "default"
+    # NOTE agg_intrp_order: the flag default is 0 (flag-surface contract
+    # with the reference) but only 1/2 are decodable — the reference's own
+    # order-0 decode branch is missing (point_aggregators.py:715/:745
+    # if==1/elif==2 -> UnboundLocalError at forward). aggregate() raises
+    # the clear error at the same point (first forward), not at config
+    # build, so default-flag parses keep working.
     agg = AggregatorConfig(
         point_features_dim=opt.point_features_dim,
         shading_feature_num=opt.shading_feature_num,

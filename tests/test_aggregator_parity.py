@@ -388,3 +388,51 @@ def test_yuze_roundtrip_export():
         for a, b in zip(params[blk], back[blk]):
             np.testing.assert_array_equal(np.asarray(a["w"]), b["w"])
             np.testing.assert_array_equal(np.asarray(a["b"]), b["b"])
+
+
+@pytest.mark.parametrize("layer3", [0, 2])
+def test_agg_intrp_order1_matches_reference(layer3):
+    """agg_intrp_order=1 (interpolate-then-decode, the reference's DTU
+    generalizable-inference configs dev_scripts/dtu_test_inf/*): features
+    weight-sum over K first, one alpha decode per shading point
+    (point_aggregators.py:715-742)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    probe, opt = _ref_aggregator(torch)
+    opt.agg_intrp_order = 1
+    opt.shading_feature_mlp_layer3 = layer3
+    ref = type(probe)(opt)
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+
+    data = _inputs(seed=17)
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, _, _ = ref(
+            t["sampled_color"], None, torch.eye(3),
+            t["sampled_dir"], t["sampled_conf"], t["sampled_embedding"],
+            t["sampled_xyz_pers"], t["sampled_xyz"], t["sample_pnt_mask"],
+            t["sample_loc"], t["sample_loc_w"], t["sample_ray_dirs"],
+            vsize, 0.0)
+
+    cfg = AggregatorConfig(agg_intrp_order=1,
+                           shading_feature_mlp_layer3=layer3)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, _, _ = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.eye(3), vsize=vsize)
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=5e-4, rtol=1e-3)

@@ -60,3 +60,38 @@ def test_attr_dedup_flag_threads_to_render_config():
     cfg, _, _ = configs_from_opt(opt)
     assert cfg.attr_dedup == 256 and cfg.attr_tile == 32
     assert cfg.gvjp_U == 96 and cfg.gather_vjp == "raydedup"
+
+
+def test_agg_intrp_order_validation():
+    """order 1 threads through (dtu_test_inf configs); order 0 is rejected
+    at first forward (dead in the reference too — its decode branch is
+    missing, UnboundLocalError at point_aggregators.py:715/:745), while
+    default-flag parses/config builds keep working (flag default is 0)."""
+    import dataclasses as dc
+    import jax
+    from sgnerf_tpu.options.options import configs_from_opt
+    from sgnerf_tpu.models.aggregator import (AggregatorConfig,
+                                              init_aggregator_params,
+                                              aggregate)
+
+    opt = TrainOptions().parse(["--name", "t", "--agg_intrp_order", "1"])
+    cfg, _, _ = configs_from_opt(opt)
+    assert cfg.agg.agg_intrp_order == 1
+
+    opt = TrainOptions().parse(["--name", "t"])     # default 0 still parses
+    cfg, _, _ = configs_from_opt(opt)
+    assert cfg.agg.agg_intrp_order == 0
+
+    acfg = AggregatorConfig(agg_intrp_order=0)
+    params = init_aggregator_params(jax.random.key(0), acfg)
+    z = jax.numpy.zeros
+    with pytest.raises(ValueError, match="agg_intrp_order"):
+        aggregate(params, acfg,
+                  sampled_embedding=z((1, 2, 2, 2, 32)),
+                  sampled_color=None, sampled_dir=None, sampled_conf=None,
+                  sampled_label_embedding=None,
+                  sampled_xyz=z((1, 2, 2, 2, 3)),
+                  sampled_xyz_pers=z((1, 2, 2, 2, 3)),
+                  sample_pnt_mask=z((1, 2, 2, 2), bool),
+                  sample_loc=z((1, 2, 2, 3)), sample_loc_w=z((1, 2, 2, 3)),
+                  sample_ray_dirs=z((1, 2, 2, 3)))
