@@ -235,23 +235,53 @@ def _dist_weights(cfg: AggregatorConfig, dists, pnt_mask):
         # sqrt has an inf gradient at 0; clip inside so grads stay finite
         return jnp.sqrt(jnp.clip(jnp.sum(jnp.square(x), axis=-1), min=1e-12))
 
+    # agg_axis_weight (reference :475-513): every shipped config passes
+    # "1. 1. 1.", which the reference short-circuits to the unweighted
+    # form; the non-unit branches are mirrored exactly, including their
+    # quirks (linear gates on aw[0]/aw[2] but applies aw[0] to the xy norm
+    # and aw[1] to |z|; quadric multiplies the FULL dists row by the
+    # 3-wide weight, so like the reference it only broadcasts for 3-wide
+    # dists, i.e. agg_dist_pers <= 9)
+    aw = cfg.axis_weight
+    lin_unit = aw is None or (aw[0] == 1 and aw[2] == 1)
+    quad_unit = aw is None or (aw[0] == 1 and aw[1] == 1 and aw[2] == 1)
+
+    def lin_w(d):
+        if lin_unit:
+            return 1.0 / jnp.clip(safe_norm(d[..., :3]), min=1e-6)
+        awj = jnp.asarray(aw, dists.dtype)
+        xy = jnp.sqrt(jnp.clip(
+            jnp.sum(jnp.square(d[..., :2]), axis=-1), min=1e-12))
+        return 1.0 / jnp.clip(
+            xy * awj[0] + jnp.abs(d[..., 2]) * awj[1], min=1e-6)
+
+    def quad_w(d, full):
+        if quad_unit:
+            return 1.0 / jnp.clip(
+                jnp.sum(jnp.square(d if full else d[..., :3]), axis=-1),
+                min=1e-8)
+        awj = jnp.asarray(aw, dists.dtype)
+        return 1.0 / jnp.clip(
+            jnp.sum(jnp.square(d) * awj, axis=-1), min=1e-8)
+
     if kern == "linear":
-        w = 1.0 / jnp.clip(safe_norm(dists[..., :3]), min=1e-6)
-        return m * w
+        return m * lin_w(dists)
     if kern == "quadric":
-        w = 1.0 / jnp.clip(
-            jnp.sum(jnp.square(dists[..., :3]), axis=-1), min=1e-8)
-        return m * w
+        return m * quad_w(dists, full=False)
     if kern == "avg":
         return m
     if kern == "numlinear":
-        w = 1.0 / jnp.clip(safe_norm(dists), min=1e-6)
+        if lin_unit:
+            w = 1.0 / jnp.clip(safe_norm(dists), min=1e-6)
+        else:
+            w = lin_w(dists)
         w = m * w
         return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
     if kern == "numquadric":
-        w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists), axis=-1), min=1e-8)
-        w = m * w
-        return w / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), min=1.0)
+        # NB: unlike numlinear, the reference's numquadric does NOT divide
+        # by the neighbor count (:483-491 returns the raw masked weights;
+        # only numlinear computes norm_weights) — mirrored exactly
+        return m * quad_w(dists, full=True)
     if kern == "trilinear":
         # reference :428-462 — needs grid_vox_sz; handled in _dist_weights_ex
         raise ValueError("trilinear handled by _dist_weights_ex")

@@ -436,3 +436,107 @@ def test_agg_intrp_order1_matches_reference(layer3):
                                ref_valid.numpy().astype(bool))
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_unpack_embedding_modes_reference_packing():
+    """unpack_embedding_modes vs the reference's set_points packing recipe
+    (neural_points.py:594-620): conf -> dir -> color each PREPENDED when
+    mode contains "0"; "01" packs AND keeps the separate copy (so the
+    width guard must leave the packed embedding intact — the reference's
+    point_features_dim counts the full packed width and block1 consumes
+    it whole)."""
+    from sgnerf_tpu.models.checkpoint_io import unpack_embedding_modes
+    rng = np.random.default_rng(0)
+    F, N = 8, 6
+    feats = rng.normal(size=(N, F)).astype(np.float32)
+    conf = rng.normal(size=(N, 1)).astype(np.float32)
+    dr = rng.normal(size=(N, 3)).astype(np.float32)
+    col = rng.normal(size=(N, 3)).astype(np.float32)
+
+    # reference packing order: conf prepends, then dir prepends, then color
+    packed = np.concatenate([col, dr, conf, feats], axis=-1)
+
+    # pure mode "0": attributes live only in the embedding -> strip them out
+    out = unpack_embedding_modes(
+        {"embedding": packed, "conf": None, "dir": None, "color": None},
+        point_conf_mode="0", point_dir_mode="0", point_color_mode="0",
+        point_features_dim=F)
+    np.testing.assert_array_equal(out["embedding"], feats)
+    np.testing.assert_array_equal(out["conf"], conf)
+    np.testing.assert_array_equal(out["dir"], dr)
+    np.testing.assert_array_equal(out["color"], col)
+
+    # mode "01" (the reference's DTU ete/inf configs): the separate copies
+    # exist AND point_features_dim counts the packed width — embedding
+    # must pass through un-stripped (block1 consumes the packed layout)
+    out = unpack_embedding_modes(
+        {"embedding": packed, "conf": conf, "dir": dr, "color": col},
+        point_conf_mode="01", point_dir_mode="01", point_color_mode="01",
+        point_features_dim=packed.shape[-1])
+    np.testing.assert_array_equal(out["embedding"], packed)
+    np.testing.assert_array_equal(out["conf"], conf)
+
+    # pure mode "1" (ScanNet default): nothing packed, nothing stripped
+    out = unpack_embedding_modes(
+        {"embedding": feats, "conf": conf, "dir": dr, "color": col},
+        point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        point_features_dim=F)
+    np.testing.assert_array_equal(out["embedding"], feats)
+
+
+@pytest.mark.parametrize("kernel,pers", [("linear", 20), ("quadric", 0),
+                                         ("numlinear", 20),
+                                         ("numquadric", 0)])
+def test_non_unit_axis_weight_matches_reference(kernel, pers):
+    """agg_axis_weight != (1,1,1): the reference's weighted distance-kernel
+    branches (point_aggregators.py:475-513), quirks included (linear
+    applies aw[0] to the xy norm and aw[1] to |z|). Every shipped config
+    uses unit weights; this pins the branch anyway. quadric/numquadric
+    broadcast the 3-wide weight over the full dists row, so (like the
+    reference) they only run with 3-wide dists (agg_dist_pers<=9)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    probe, opt = _ref_aggregator(torch)
+    opt.agg_distance_kernel = kernel
+    opt.agg_dist_pers = pers
+    ref = type(probe)(opt)
+    # the reference constructor pins axis_weight to a CUDA tensor (:283);
+    # install the CPU equivalent post-construction
+    aw = (2.0, 0.5, 1.0)
+    ref.axis_weight = torch.tensor(aw)[None, None, None, None, :]
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+
+    data = _inputs(seed=19)
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, ref_w, _ = ref(
+            t["sampled_color"], None, torch.eye(3),
+            t["sampled_dir"], t["sampled_conf"], t["sampled_embedding"],
+            t["sampled_xyz_pers"], t["sampled_xyz"], t["sample_pnt_mask"],
+            t["sample_loc"], t["sample_loc_w"], t["sample_ray_dirs"],
+            vsize, 0.0)
+
+    cfg = AggregatorConfig(agg_distance_kernel=kernel, agg_dist_pers=pers,
+                           axis_weight=aw)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, w, _ = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.eye(3), vsize=vsize)
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(w), ref_w.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=5e-4, rtol=1e-3)
