@@ -50,12 +50,27 @@ def main():
             np.asarray(cloud.xyz)[act], np.asarray(cloud.label)[act])
         print("saved predicted label cloud")
 
+    # --bgmodel *plane (reference run/test_edit.py:75-87): per-ray plane
+    # backgrounds, same wiring as run/test_ft.py
+    plane_bg = str(getattr(opt, "bgmodel", "no")).endswith("plane")
+    init_views = None
+    cloud_xyz = None
+    if plane_bg and hasattr(dataset, "get_init_item"):
+        init_views = dataset.get_init_item(0)
+        act = np.asarray(model.state.cloud.active)
+        cloud_xyz = np.asarray(model.state.cloud.xyz)[act]
+
     psnrs = []
     subdir = "test_edit"
     for i in range(len(dataset))[::max(opt.test_num_step, 1)]:
         item = dataset.get_item(i, full_img=True)
+        bg_image = None
+        if plane_bg and init_views is not None \
+                and item.get("plane_pnt") is not None:
+            from sgnerf_tpu.models.background import plane_bg_ray
+            bg_image = plane_bg_ray(item, init_views, cloud_xyz)
         t0 = time.time()
-        col = model.render_image(item)
+        col = model.render_image(item, bg_image=bg_image)
         pix = item["pixel_idx"]
         W = int(pix[:, 0].max() - pix[:, 0].min() + 1)
         H = len(col) // W

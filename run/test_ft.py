@@ -42,11 +42,27 @@ def main():
     out_dir = os.path.join(visualizer.image_dir, subdir)
     ids = list(range(len(dataset)))[::max(opt.test_num_step, 1)]
 
+    # --bgmodel *plane: per-ray plane backgrounds sampled from the MVS
+    # source views (reference test_ft.py:340-344 create_all_bg; the bg is
+    # built per frame here — same math, no precomputed list needed)
+    plane_bg = str(getattr(opt, "bgmodel", "no")).endswith("plane")
+    init_views = None
+    cloud_xyz = None
+    if plane_bg and hasattr(dataset, "get_init_item"):
+        init_views = dataset.get_init_item(0)
+        active = np.asarray(model.state.cloud.active)
+        cloud_xyz = np.asarray(model.state.cloud.xyz)[active]
+
     psnrs = []
     for i in ids:
         item = dataset.get_item(i, full_img=True)
+        bg_image = None
+        if plane_bg and init_views is not None \
+                and item.get("plane_pnt") is not None:
+            from sgnerf_tpu.models.background import plane_bg_ray
+            bg_image = plane_bg_ray(item, init_views, cloud_xyz)
         t0 = time.time()
-        col = model.render_image(item)
+        col = model.render_image(item, bg_image=bg_image)
         pix = item["pixel_idx"]
         W = int(pix[:, 0].max() - pix[:, 0].min() + 1)
         Hh = len(col) // W

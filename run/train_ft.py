@@ -45,6 +45,10 @@ def make_batch(item):
     }
     if "pixel_label" in item:
         b["pixel_label"] = jnp.asarray(item["pixel_label"][None])
+    if "bg_ray" in item:
+        # --bgmodel plane: per-ray background replacing the constant one
+        # through the background transmission (models/train.py loss_fn)
+        b["bg_ray"] = jnp.asarray(item["bg_ray"][None])
     if "gt_depth" in item:
         b["gt_depth"] = jnp.asarray(item["gt_depth"][None])
         b["gt_mask"] = jnp.asarray(item["gt_mask"][None])
@@ -99,10 +103,19 @@ def run_test(model, dataset, visualizer, total_steps, num_images=None,
         ids = ids[:num_images]
     psnrs = []
     subdir = f"test_{total_steps}"
+    plane_bg = str(getattr(model.opt, "bgmodel", "no")).endswith("plane")
     for i in ids:
         item = dataset.get_item(i, full_img=True)
+        bg_image = None
+        if plane_bg and item.get("plane_pnt") is not None \
+                and hasattr(dataset, "get_init_item"):
+            from sgnerf_tpu.models.background import plane_bg_ray
+            active = np.asarray(model.state.cloud.active)
+            bg_image = plane_bg_ray(
+                item, dataset.get_init_item(0),
+                np.asarray(model.state.cloud.xyz)[active])
         t0 = time.time()
-        col = model.render_image(item)
+        col = model.render_image(item, bg_image=bg_image)
         # reshape using the pixel window the dataset sampled
         npx = item["pixel_idx"]
         W = int(npx[:, 0].max() - npx[:, 0].min() + 1)
@@ -187,10 +200,29 @@ def main():
                 nxt = min(nxt, (step // freq + 1) * freq)
         return nxt
 
+    # --bgmodel *plane: precompute a full-frame plane background per frame
+    # (reference run/train_ft.py:559-586 create_all_bg); each batch then
+    # indexes its sampled pixels (reference :210-218)
+    bg_all = None
+    if str(getattr(opt, "bgmodel", "no")).endswith("plane"):
+        from sgnerf_tpu.models.background import create_all_bg
+        active = np.asarray(model.state.cloud.active)
+        bg_all = create_all_bg(dataset,
+                               np.asarray(model.state.cloud.xyz)[active])
+        if bg_all is not None:
+            print(f"[bgmodel] plane backgrounds for {len(bg_all)} frames")
+
     def _get_item():
         if prefetcher is not None:
-            return prefetcher.next()
-        return dataset.get_item(int(rng.integers(0, len(dataset))), rng=rng)
+            item = prefetcher.next()
+        else:
+            item = dataset.get_item(int(rng.integers(0, len(dataset))),
+                                    rng=rng)
+        if bg_all is not None:
+            bg = bg_all[int(item["id"])]
+            px = item["pixel_idx"].astype(np.int64)
+            item["bg_ray"] = bg[px[:, 1], px[:, 0]]
+        return item
 
     while total_steps < maximum_step:
         G = min(G_max, _next_event(total_steps) - total_steps) \

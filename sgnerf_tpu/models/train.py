@@ -153,6 +153,17 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                 camrotc2w=batch["camrotc2w"], near=batch["near"],
                 far=batch["far"], bg_color=batch.get("bg_color"),
                 pixel_label=batch.get("pixel_label"), key=key, is_train=True)
+        if "bg_ray" in batch:
+            # --bgmodel plane (reference fill_invalid,
+            # neural_points_volumetric_model.py:175-177): the per-ray plane
+            # background replaces the constant one through the background
+            # transmission — exact for the shipped black-bg plane configs
+            # (models/background.py)
+            bgc = batch.get("bg_color")
+            bgc = jnp.zeros((3,)) if bgc is None else jnp.asarray(bgc)
+            out = dict(out, coarse_raycolor=(
+                out["coarse_raycolor"]
+                + out["coarse_is_background"] * (batch["bg_ray"] - bgc)))
         if "ray_depth_mask" in batch:
             # per-ray valid-depth mask (reference builds it from the full
             # gt depth image + pixel_idx; the dataset batcher here samples

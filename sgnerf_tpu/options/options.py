@@ -392,6 +392,18 @@ def configs_from_opt(opt):
         raise ValueError(
             f"--which_agg_model must be viewmlp or viewmlp_yuze, got {wam!r}")
     agg_variant = "yuze" if wam == "viewmlp_yuze" else "default"
+    for xyz_flag in ("agg_feat_xyz_mode", "agg_alpha_xyz_mode",
+                     "agg_color_xyz_mode"):
+        if str(getattr(opt, xyz_flag, "None")) != "None":
+            # no reference config sets these (every dev_script passes
+            # None), and the reference's own decode crashes for most
+            # combinations (per-neighbor pts concatenated into per-ray
+            # inputs: point_aggregators.py:720-746 with pts=pts_pnt) —
+            # reject explicitly instead of silently ignoring the flag
+            raise NotImplementedError(
+                f"--{xyz_flag} != None is not supported (unused by every "
+                "reference config; the reference decode itself is "
+                "inconsistent there)")
     # NOTE agg_intrp_order: the flag default is 0 (flag-surface contract
     # with the reference) but only 1/2 are decodable — the reference's own
     # order-0 decode branch is missing (point_aggregators.py:715/:745

@@ -65,9 +65,12 @@ def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
                                   raydir=rd, camrotc2w=rot, near=near,
                                   far=far, bg_color=bg, is_train=False)
             return (out["coarse_raycolor"],        # (B, Rc, 3)
+                    out["coarse_is_background"],   # (B, Rc, 1) — bgT, lets
+                    #   the caller swap the constant background for a
+                    #   per-ray one (--bgmodel plane) without re-rendering
                     out.get("attr_dedup_overflow", jnp.asarray(0)))
-        cols, over = jax.lax.map(one, raydirs)
-        return cols, over                          # over: (G,) per-chunk
+        cols, bgt, over = jax.lax.map(one, raydirs)
+        return cols, bgt, over                     # over: (G,) per-chunk
 
     return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
               pspec)
@@ -636,7 +639,8 @@ class SceneModel:
                   f"(recompiles consumers)", flush=True)
 
     def render_image(self, item: Dict, chunk_rays: int = 9216,
-                     key=None, chunks_per_dispatch: int = 4) -> np.ndarray:
+                     key=None, chunks_per_dispatch: int = 4,
+                     bg_image=None) -> np.ndarray:
         """Chunked full-frame render; returns (H', W', 3) over the filtered
         pixel window (test_ft.py:167-204 chunk loop, static chunk shapes).
 
@@ -651,6 +655,11 @@ class SceneModel:
             # scene is built lazily once the frustum spec is known
             self.ensure_pspec(item)
         if self.sharded_scene is not None:
+            if bg_image is not None:
+                raise NotImplementedError(
+                    "--bgmodel plane does not compose with --scene_shards "
+                    "(per-ray background swap needs the bgT output of the "
+                    "spatial renderer; render unsharded for plane-bg evals)")
             return self._render_image_spatial(item, raydir, chunk_rays)
         G = max(1, int(chunks_per_dispatch))
         # --chunk_stack B: render B chunks per lax.map body on the batch
@@ -681,15 +690,17 @@ class SceneModel:
         bg = jnp.asarray(item["bg_color"])
         overs = []
         groups = []
+        bgts = []
         for s in range(0, len(raydir_p), group):
             rds = jnp.asarray(
                 raydir_p[s:s + group].reshape(G, B, chunk_rays, 3))
             if ray_put is not None:
                 rds = ray_put(rds)
-            c, over = _render_chunk_group(
+            c, bgt, over = _render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
                 rot, near, far, bg, pspec=self.pspec)
             cols.append(c)
+            bgts.append(bgt)
             overs.append(over)
             groups.append(rds)
             # results stay on-device: dispatches pipeline, so device compute
@@ -710,10 +721,11 @@ class SceneModel:
                 n_over += gi
                 if cfg_plain is None:
                     cfg_plain = dataclasses.replace(self.cfg, attr_dedup=0)
-                c, _ = _render_chunk_group(
+                c, bgt, _ = _render_chunk_group(
                     st.params, st.cloud, self.grid, cfg_plain, campos,
                     groups[i], rot, near, far, bg, pspec=self.pspec)
                 cols[i] = c
+                bgts[i] = bgt
             if n_over > 0 and not getattr(self, "_warned_attr_over", False):
                 print(f"[render] attr-dedup overflow: {n_over} neighbor "
                       f"rows exceeded --attr_dedup {self.cfg.attr_dedup} "
@@ -724,6 +736,16 @@ class SceneModel:
                 self._warned_attr_over = True
         col = np.concatenate([np.asarray(c).reshape(-1, 3)
                               for c in cols])[:R]
+        if bg_image is not None:
+            # --bgmodel plane: swap the constant background for the
+            # per-ray plane colors via the background transmission —
+            # exact for the reference's black-bg plane configs
+            # (models/background.py docstring; reference
+            # neural_points_volumetric_model.py:175-177)
+            bgt = np.concatenate([np.asarray(b).reshape(-1, 1)
+                                  for b in bgts])[:R]
+            col = col + bgt * (np.asarray(bg_image, np.float32).reshape(
+                -1, 3) - np.asarray(item["bg_color"], np.float32))
         return col
 
     def _render_image_spatial(self, item, raydir, chunk_rays):
