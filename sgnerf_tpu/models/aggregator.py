@@ -182,10 +182,23 @@ def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig,
         sizes = [c] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer1
         params["block1"] = _mlp_init(k1, sizes, gain, dtype)
         c = cfg.shading_feature_num
+    if cfg.shading_feature_mlp_layer2 > 0:
+        # reference :331-341 / :624-630. Its init adds dist_xyz_dim only
+        # when num_feat_freqs == 0 while its forward concatenates dists
+        # whenever agg_intrp_order > 0 — i.e. the reference module crashes
+        # for layer2>0 with feature PE on. We gate init and forward
+        # identically (order > 0), which matches the reference on its
+        # runnable domain (num_feat_freqs == 0) and stays consistent
+        # elsewhere.
+        cin = c + (cfg.dist_xyz_dim if cfg.agg_intrp_order > 0 else 0)
+        sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer2
+        params["block2"] = _mlp_init(k2, sizes, gain, dtype)
+        c = cfg.shading_feature_num
     if cfg.shading_feature_mlp_layer2_bpnet > 0:
         cin = c + (cfg.semantic_dim if cfg.predict_semantic == 1 else 0)
         sizes = [cin] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer2_bpnet
-        params["block2_bpnet"] = _mlp_init(k2, sizes, gain, dtype)
+        params["block2_bpnet"] = _mlp_init(
+            jax.random.fold_in(k2, 1), sizes, gain, dtype)
         c = cfg.shading_feature_num
     if cfg.shading_feature_mlp_layer3 > 0:
         cin = c + (3 if "1" in cfg.point_color_mode else 0) + \
@@ -477,6 +490,7 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
         cfg.fused_mlp == "pallas"
         and cfg.agg_variant == "default"
         and cfg.shading_feature_mlp_layer1 > 0
+        and cfg.shading_feature_mlp_layer2 == 0
         and cfg.shading_feature_mlp_layer2_bpnet == 0
         and cfg.shading_feature_mlp_layer3 == 0
         and cfg.shading_alpha_mlp_layer == 1
@@ -557,6 +571,13 @@ def aggregate(params: Dict[str, Any], cfg: AggregatorConfig, *,
             feat = jnp.concatenate([feat, d], axis=-1)
 
         feat = _mlp_apply(cfg, params["block1"], feat)
+
+        if cfg.shading_feature_mlp_layer2 > 0:
+            # reference :624-630 (agg_feat_xyz_mode is always "None" —
+            # rejected at config build otherwise)
+            if cfg.agg_intrp_order > 0:
+                feat = jnp.concatenate([feat, d], axis=-1)
+            feat = _mlp_apply(cfg, params["block2"], feat)
 
         if cfg.shading_feature_mlp_layer2_bpnet > 0:
             if sampled_label_embedding is not None:

@@ -540,3 +540,77 @@ def test_non_unit_axis_weight_matches_reference(kernel, pers):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_block2_matches_reference_no_feat_pe():
+    """shading_feature_mlp_layer2 (block2: re-concat PE'd dists, then MLP —
+    point_aggregators.py:331-341,:624-630). Parity domain is
+    num_feat_freqs=0: the reference init adds dist_xyz_dim only when
+    feature PE is off while its forward concatenates dists whenever
+    agg_intrp_order>0, so the reference module crashes for layer2>0 with
+    feature PE on. Our init/forward gate identically (order>0) and so
+    also support the PE-on combination."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    probe, opt = _ref_aggregator(torch)
+    opt.shading_feature_mlp_layer2 = 2
+    opt.num_feat_freqs = 0
+    ref = type(probe)(opt)
+    sd = {f"aggregator.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, _ = convert_reference_checkpoint(sd)
+    assert "block2" in params
+
+    data = _inputs(seed=23)
+    vsize = np.array([0.008, 0.008, 0.008], np.float32)
+    t = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    with torch.no_grad():
+        ref_out, ref_valid, _, _ = ref(
+            t["sampled_color"], None, torch.eye(3),
+            t["sampled_dir"], t["sampled_conf"], t["sampled_embedding"],
+            t["sampled_xyz_pers"], t["sampled_xyz"], t["sample_pnt_mask"],
+            t["sample_loc"], t["sample_loc_w"], t["sample_ray_dirs"],
+            vsize, 0.0)
+
+    cfg = AggregatorConfig(shading_feature_mlp_layer2=2, num_feat_freqs=0)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, _, _ = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.eye(3), vsize=vsize)
+    np.testing.assert_allclose(np.asarray(valid),
+                               ref_valid.numpy().astype(bool))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_block2_with_feat_pe_runs():
+    """layer2>0 + num_feat_freqs>0 (the combination the reference module
+    cannot construct consistently) runs end-to-end in our consistent
+    gating."""
+    import jax
+    from sgnerf_tpu.models.aggregator import init_aggregator_params
+    cfg = AggregatorConfig(shading_feature_mlp_layer2=1)
+    params = init_aggregator_params(jax.random.key(0), cfg)
+    data = _inputs(seed=29)
+    j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in data.items()}
+    out, valid, _, _ = aggregate(
+        params, cfg,
+        sampled_embedding=j["sampled_embedding"],
+        sampled_color=j["sampled_color"], sampled_dir=j["sampled_dir"],
+        sampled_conf=j["sampled_conf"], sampled_label_embedding=None,
+        sampled_xyz=j["sampled_xyz"], sampled_xyz_pers=j["sampled_xyz_pers"],
+        sample_pnt_mask=j["sample_pnt_mask"], sample_loc=j["sample_loc"],
+        sample_loc_w=j["sample_loc_w"],
+        sample_ray_dirs=j["sample_ray_dirs"],
+        Rw2c=jnp.eye(3))
+    assert np.isfinite(np.asarray(out)).all()
