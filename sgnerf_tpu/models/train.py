@@ -41,6 +41,8 @@ class TrainConfig:
     lr_policy: str = "iter_exponential_decay"
     lr_decay_iters: int = 1000000
     lr_decay_exp: float = 0.1
+    niter: int = 100            # lr_policy=lambda: flat until niter...
+    niter_decay: int = 100      # ...then linear to 0 over niter_decay
     alter_step: int = 0
     # per-tensor grad switches (reference flags feat_grad etc.)
     feat_grad: int = 1
@@ -82,10 +84,26 @@ class TrainState:
 
 
 def _schedule(tcfg: TrainConfig, base_lr: float):
+    """LR schedules (reference helpers/networks.py:41-66). Implemented:
+    iter_exponential_decay (every shipped config), lambda (linear decay
+    from niter over niter_decay), step (x0.1 every lr_decay_iters).
+    'plateau' is loss-driven torch state with no shipped user — falls
+    through to constant; 'cosine_annealing' crashes in the reference
+    itself (reads an undefined `self.args`, networks.py:64)."""
     if tcfg.lr_policy == "iter_exponential_decay":
         def fn(count):
             return base_lr * tcfg.lr_decay_exp ** (
                 count / tcfg.lr_decay_iters)
+        return fn
+    if tcfg.lr_policy == "lambda":
+        def fn(count):
+            frac = 1.0 - jnp.maximum(0.0, count - tcfg.niter) \
+                / float(tcfg.niter_decay + 1)
+            return base_lr * frac
+        return fn
+    if tcfg.lr_policy == "step":
+        def fn(count):
+            return base_lr * 0.1 ** (count // tcfg.lr_decay_iters)
         return fn
     return lambda count: base_lr
 

@@ -500,6 +500,7 @@ def configs_from_opt(opt):
     tcfg = TrainConfig(
         lr=opt.lr, plr=opt.plr, lr_policy=opt.lr_policy,
         lr_decay_iters=opt.lr_decay_iters, lr_decay_exp=opt.lr_decay_exp,
+        niter=opt.niter, niter_decay=opt.niter_decay,
         alter_step=opt.alter_step,
         feat_grad=opt.feat_grad, conf_grad=opt.conf_grad,
         color_grad=opt.color_grad, dir_grad=opt.dir_grad,

@@ -321,3 +321,24 @@ def test_gather_rows_int8_forward_and_vjp():
         jnp.asarray(cot_b.reshape(-1, C)))
     np.testing.assert_array_equal(np.asarray(g1),
                                   np.asarray(acc.astype(jnp.float32)))
+
+
+def test_lr_policies_lambda_and_step():
+    """lr_policy=lambda (linear decay past niter) and =step (x0.1 every
+    lr_decay_iters) — reference helpers/networks.py:42-49. plateau/
+    cosine_annealing have no shipped user (cosine crashes in the
+    reference: undefined self.args at networks.py:64)."""
+    import numpy as np
+    from sgnerf_tpu.models.train import TrainConfig, _schedule
+
+    lam = _schedule(TrainConfig(lr_policy="lambda", niter=10,
+                                niter_decay=19), 1.0)
+    np.testing.assert_allclose(float(lam(0)), 1.0)
+    np.testing.assert_allclose(float(lam(10)), 1.0)
+    np.testing.assert_allclose(float(lam(20)), 0.5)
+    np.testing.assert_allclose(float(lam(30)), 0.0)
+
+    step = _schedule(TrainConfig(lr_policy="step", lr_decay_iters=100), 2.0)
+    np.testing.assert_allclose(float(step(99)), 2.0)
+    np.testing.assert_allclose(float(step(100)), 0.2)
+    np.testing.assert_allclose(float(step(250)), 0.02, rtol=1e-6)
