@@ -40,6 +40,24 @@ class NerfSynthFtDataset:
     def __len__(self):
         return self.total
 
+    # view lists for the MVS-bootstrap visual-hull filter
+    # (runtime/mvs_bootstrap.py alpha_masking; reference train_ft.py:134
+    # reads dataset.alphas/intrinsics/world2cams — the RGBA alpha channel
+    # is the mask for NeRF-synthetic scenes)
+    @property
+    def alphas(self):
+        return [img[None, :, :, 3] for img in self.imgs]
+
+    @property
+    def view_intrinsics(self):
+        return [self.intrinsic for _ in self.id_list]
+
+    @property
+    def world2cams(self):
+        return [np.linalg.inv(
+            np.asarray(self.poses[i], np.float64)).astype(np.float32)
+            for i in self.id_list]
+
     def _sample_pixels(self, rng):
         s = self.opt.random_sample_size
         mode = self.opt.random_sample

@@ -99,3 +99,49 @@ def filter_depths(depths: Sequence[jnp.ndarray],
         fm = np.asarray(final)
         out.append((np.asarray(world)[fm], np.asarray(confidences[ref])[fm]))
     return out
+
+
+def alpha_masking(xyz, alphas, intrinsics, w2cs, near_far,
+                  alpha_range: int = 0, inall_img: int = 1):
+    """Visual-hull mask over MVS-bootstrap points (reference
+    mvs_utils.py:572-607 `alpha_masking`, called from
+    run/train_ft.py:132-137 when the dataset exposes per-view alpha
+    masks): a point survives only if EVERY view's alpha image is >0.1 at
+    its floor-pixel projection (out-of-frame pixels count as pass unless
+    alpha_range>0 / inall_img==0 adds the in-frame range mask), ANDed
+    with a per-view near/far depth window when near_far is given.
+    The reference's c2ws argument is dead (never read) and dropped here.
+
+    xyz (N,3); alphas: sequence of (1,H,W) or (H,W) arrays; intrinsics:
+    (3,3) or (4,4) per view; w2cs: (4,4) per view. Returns (N,) bool.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    w1 = np.concatenate([xyz[:, :3], np.ones_like(xyz[:, :1])], axis=-1)
+    vishull = None
+    for i in range(len(alphas)):
+        alpha = np.asarray(alphas[i], np.float32)
+        alpha = alpha[0] if alpha.ndim == 3 else alpha
+        H, W = alpha.shape
+        intr = np.asarray(intrinsics[i], np.float32)[:3, :3]
+        w2c = np.asarray(w2cs[i], np.float32)
+        cam = w1 @ w2c.T
+        nf_mask = None
+        if near_far is not None:
+            nf_mask = (cam[:, 2] >= near_far[0] - 1.0) \
+                & (cam[:, 2] <= near_far[1])
+        pix = cam[:, :3] @ intr.T
+        img_xy = np.floor(pix[:, :2] / pix[:, 2:3]).astype(np.int64)
+        range_mask = None
+        if alpha_range > 0 or inall_img == 0:
+            range_mask = np.all(
+                (img_xy >= 0) & (img_xy < np.asarray([[W, H]])), axis=-1)
+        x = np.clip(img_xy[:, 0], 0, W - 1)
+        y = np.clip(img_xy[:, 1], 0, H - 1)
+        mask = alpha[y, x]
+        if range_mask is not None:
+            # reference :597: out-of-frame pixels pass the alpha test
+            mask = mask + (~range_mask).astype(np.float32)
+        mask = mask > 0.1
+        m = (mask & nf_mask) if nf_mask is not None else mask
+        vishull = m if vishull is None else (vishull & m)
+    return vishull

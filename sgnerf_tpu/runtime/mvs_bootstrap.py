@@ -90,6 +90,18 @@ def gen_points_filter_embeddings(dataset, opt, key=None):
     if len(xyz) and ranges[0] > -99.0:
         m = np.all((xyz >= ranges[:3]) & (xyz <= ranges[3:]), axis=-1)
         xyz, conf_all = xyz[m], conf_all[m]
+    if len(xyz) and getattr(dataset, "alphas", None) is not None:
+        # visual-hull filter for alpha-mask datasets (reference
+        # run/train_ft.py:132-137; near/far window only with open ranges,
+        # same gate as the reference's `opt.ranges[0] < -90.0`)
+        from ..models.mvs_filter import alpha_masking
+        nf = dataset.near_far if ranges[0] < -90.0 else None
+        m = alpha_masking(
+            xyz, dataset.alphas, dataset.view_intrinsics,
+            dataset.world2cams, nf,
+            alpha_range=getattr(opt, "alpha_range", 0),
+            inall_img=getattr(opt, "inall_img", 1))
+        xyz, conf_all = xyz[m], conf_all[m]
     if len(xyz) and opt.vox_res > 0:
         keep = vox_downsample_closest(xyz, opt.vox_res)
         xyz, conf_all = xyz[keep], conf_all[keep]

@@ -49,3 +49,22 @@ def test_blender_dataset(blender_dir):
         np.linalg.norm(item["camrotc2w"], axis=0), 1.0, atol=1e-5)
     dummy = ds.get_dummyrot_item(1)
     assert dummy["raydir"].shape == (32 * 32, 3)
+
+
+def test_nerf_synth_view_lists_for_alpha_masking(blender_dir):
+    """alphas / view_intrinsics / world2cams feed the MVS-bootstrap
+    visual-hull filter (runtime/mvs_bootstrap.py; reference
+    train_ft.py:134)."""
+    from sgnerf_tpu.options import TrainOptions
+    from sgnerf_tpu.data import create_dataset
+    opt = TrainOptions().parse([
+        "--dataset_name", "nerf_synth_ft", "--data_root", blender_dir,
+        "--scan", "lego", "--split", "train",
+        "--random_sample", "random", "--random_sample_size", "4",
+        "--near_plane", "2.0", "--far_plane", "6.0", "--bg_color", "white"])
+    ds = create_dataset(opt)
+    assert len(ds.alphas) == len(ds) == len(ds.world2cams)
+    assert ds.alphas[0].shape == (1, 32, 32)
+    np.testing.assert_allclose(
+        ds.world2cams[0] @ np.asarray(ds.poses[0]), np.eye(4), atol=1e-4)
+    assert ds.view_intrinsics[0].shape == (3, 3)

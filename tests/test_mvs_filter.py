@@ -58,3 +58,43 @@ def test_filter_depths_end_to_end():
     assert len(world0) > 0.8 * depth.size
     # surviving points lie on the z=2 plane (world == cam A frame)
     np.testing.assert_allclose(world0[:, 2], 2.0, atol=0.05)
+
+
+def test_alpha_masking_visual_hull():
+    """alpha_masking (reference mvs_utils.py:572-607): a point survives
+    only if every view's alpha is >0.1 at its projection; out-of-frame
+    passes unless the range mask is active; near/far windows AND in."""
+    import numpy as np
+    from sgnerf_tpu.models.mvs_filter import alpha_masking
+
+    H, W = 24, 32
+    intr = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]],
+                    np.float32)
+    w2c = np.eye(4, dtype=np.float32)          # camera at origin, +z
+    alpha = np.zeros((H, W), np.float32)
+    alpha[:, W // 2:] = 1.0                    # right half is object
+
+    pts = np.array([
+        [0.5, 0.0, 2.0],                       # projects right -> keep
+        [-0.5, 0.0, 2.0],                      # projects left  -> drop
+        [9.0, 0.0, 2.0],                       # out of frame: clamps to
+        #                                        right edge -> alpha 1 -> keep
+        [0.5, 0.0, 50.0],                      # keep unless near_far drops
+    ], np.float32)
+
+    m = alpha_masking(pts, [alpha], [intr], [w2c], None)
+    np.testing.assert_array_equal(m, [True, False, True, True])
+
+    # range mask active: out-of-frame passes the alpha test explicitly
+    # (reference :597 adds ~range_mask to the alpha sample)
+    m = alpha_masking(pts, [alpha], [intr], [w2c], None, inall_img=0)
+    np.testing.assert_array_equal(m, [True, False, True, True])
+
+    # near/far window drops the far point
+    m = alpha_masking(pts, [alpha], [intr], [w2c], (0.5, 10.0))
+    np.testing.assert_array_equal(m, [True, False, True, False])
+
+    # second view whose alpha is empty kills everything (hull = AND)
+    m = alpha_masking(pts, [alpha, np.zeros((H, W), np.float32)],
+                      [intr, intr], [w2c, w2c], None)
+    np.testing.assert_array_equal(m, [False, False, False, False])
