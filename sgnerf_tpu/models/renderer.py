@@ -461,6 +461,55 @@ class RenderConfig:
         return self.radius_limit_scale * max(self.vsize[0], self.vsize[1])
 
 
+def draw_render_noise(key: jax.Array, cfg: "RenderConfig", B: int, R: int, *,
+                      grid=None, guidance: bool = False,
+                      perspective: bool = False, is_train: bool = True,
+                      dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Pre-draw every random tensor the render forward would draw from
+    `key`, replaying render_rays[_perspective]'s exact split/draw sequence
+    — the results are bit-identical to the in-place draws.
+
+    This exists for the ray-DP shard_map path (parallel/sharded.py): per-ray
+    randomness must be drawn OUTSIDE the mapped region at global shape (and
+    sharded like the rays) or each shard would draw identical, cross-shard-
+    correlated bits; drawing here keeps sharded == unsharded runs exact.
+    The returned dict is render_rays' `noise` argument:
+      raygen_u (B,R,D)      sample-depth jitter uniforms (train, jitter>0)
+      guide_u  (B,R,SR,...) semantic-guidance acceptance uniforms
+      shade_u  (B,R,SR)     perspective shading-point jitter draw
+      kg       key          table-shaped draws (stochastic rounding) stay
+                            key-driven: replicated shape -> identical bits
+                            on every shard with no pre-draw needed
+    """
+    kj, ks, kg = jax.random.split(key, 3)
+    noise: Dict[str, jax.Array] = {}
+    D = cfg.z_depth_dim
+    if is_train and cfg.jitter > 0:
+        if cfg.which_ray_generation == "cube":
+            noise["raygen_u"] = jax.random.uniform(
+                kj, (B, R, D), dtype, -1.0, 1.0)
+        else:
+            noise["raygen_u"] = jax.random.uniform(kj, (B, R, D), dtype)
+    if perspective:
+        ks, ksj = jax.random.split(ks)
+        if is_train and cfg.shpnt_jitter == "uniform":
+            noise["shade_u"] = jax.random.uniform(ksj, (B, R, cfg.SR))
+        elif is_train and cfg.shpnt_jitter == "gaussian":
+            noise["shade_u"] = jax.random.normal(ksj, (B, R, cfg.SR))
+    elif guidance:
+        assert grid is not None
+        spec = grid.spec
+        if spec.nbr_cache > 0 and grid.nbr_packed.shape[0] > 0:
+            shape = (B, R, cfg.SR, grid.nbr_packed.shape[-1] // 5)
+        else:
+            kv = (spec.kernel_size[0] * spec.kernel_size[1]
+                  * spec.kernel_size[2])
+            shape = (B, R, cfg.SR, kv, spec.P)
+        noise["guide_u"] = jax.random.uniform(ks, shape)
+    noise["kg"] = kg
+    return noise
+
+
 @partial(jax.jit, static_argnames=("cfg", "is_train", "prob"))
 def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
                 grid: PointGrid, cfg: RenderConfig, *,
@@ -471,19 +520,24 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
                 bg_color: Optional[jnp.ndarray] = None,   # (3,)
                 pixel_label: Optional[jnp.ndarray] = None,  # (B,R) int
                 key: Optional[jax.Array] = None,
+                noise: Optional[Dict[str, jax.Array]] = None,
                 is_train: bool = False,
                 prob: bool = False) -> Dict[str, jnp.ndarray]:
     B, R, _ = raydir.shape
     agg = cfg.agg
 
-    kj = ks = kg = None
-    if key is not None:
-        kj, ks, kg = jax.random.split(key, 3)
+    use_sem = (bool(cfg.semantic_guidance) and is_train
+               and pixel_label is not None)
+    if noise is None and key is not None:
+        noise = draw_render_noise(key, cfg, B, R, grid=grid,
+                                  guidance=use_sem, is_train=is_train,
+                                  dtype=raydir.dtype)
+    noise = noise or {}
 
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, ray_ts = raygen(
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
-        jitter=cfg.jitter if is_train else 0.0, key=kj,
+        jitter=cfg.jitter if is_train else 0.0, u=noise.get("raygen_u"),
         domain_size=cfg.domain_size)
     # lazy-position compaction: positions recomputed from (campos, dir, t)
     # only for selected samples, bit-identical to the raypos gathers but
@@ -494,23 +548,24 @@ def render_rays(params: Dict[str, Any], cloud: NeuralPointCloud,
                                            "nerf_near_far_linear",
                                            "nerf_near_far_disparity_linear")
 
-    use_sem = bool(cfg.semantic_guidance) and is_train and pixel_label is not None
     q = query_neighbors(
         grid, cloud.xyz, raypos, K=cfg.K, SR=cfg.SR,
         radius_limit=cfg.radius_limit,
         ray_label=pixel_label if use_sem else None,
         points_label=cloud.label if use_sem else None,
         points_label_prob=cloud.label_prob if use_sem else None,
-        key=ks, semantic_guidance=use_sem, knn_mode=cfg.knn_mode,
+        key=None, semantic_guidance=use_sem, knn_mode=cfg.knn_mode,
         dedup_tile=cfg.dedup_tile, dedup_cap=cfg.dedup_cap,
         campos=campos if lazy_ok else None,
         raydir=raydir if lazy_ok else None,
-        tvals=ray_ts if lazy_ok else None)
+        tvals=ray_ts if lazy_ok else None,
+        guide_u=noise.get("guide_u"))
 
     return _shade_and_march(params, cloud, cfg, q.sample_pidx,
                             q.sample_loc_w, q.ray_mask, campos, raydir,
                             camrotc2w, bg_color, prob,
-                            key=kg if is_train else None, is_train=is_train)
+                            key=noise.get("kg") if is_train else None,
+                            is_train=is_train)
 
 
 def gather_and_aggregate(params, cloud, cfg, sample_pidx, sample_loc_w,
@@ -794,8 +849,8 @@ def _shade_and_march(params, cloud, cfg, sample_pidx, sample_loc_w, ray_mask,
 def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
                             pspec, cfg: RenderConfig, *,
                             campos, raydir, camrotc2w, near, far,
-                            bg_color=None, key=None, is_train=False,
-                            prob=False):
+                            bg_color=None, key=None, noise=None,
+                            is_train=False, prob=False):
     """Point-NeRF's original perspective-space query path (wcoord_query=0,
     reference query_point_indices.py): the grid is rebuilt per frame in
     camera perspective space (static frustum spec -> one compile), shading
@@ -803,32 +858,31 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
     from ..ops.query_pers import query_neighbors_perspective
     from ..ops.camera import pers2w
 
-    kj = ks = kg = None
-    if key is not None:
-        kj, ks, kg = jax.random.split(key, 3)
+    B, R, _ = raydir.shape
+    if noise is None and key is not None:
+        noise = draw_render_noise(key, cfg, B, R, perspective=True,
+                                  is_train=is_train, dtype=raydir.dtype)
+    noise = noise or {}
     raygen = find_ray_generation_method(cfg.which_ray_generation)
     raypos, _, _, _ = raygen(
         campos, raydir, cfg.z_depth_dim, near=near, far=far,
-        jitter=cfg.jitter if is_train else 0.0, key=kj)
+        jitter=cfg.jitter if is_train else 0.0, u=noise.get("raygen_u"))
 
-    ksj = None
-    if ks is not None:
-        ks, ksj = jax.random.split(ks)
     res, _ = query_neighbors_perspective(
         cloud.xyz, cloud.active, raypos, camrotc2w, campos, pspec,
-        K=cfg.K, SR=cfg.SR, radius_limit=cfg.radius_limit, key=ks)
+        K=cfg.K, SR=cfg.SR, radius_limit=cfg.radius_limit)
     # train-time shading-point depth jitter in perspective space
     # (reference query_point_indices.py:96: uniform +-vsize_z/2, gaussian
     # std vsize_z/4 clamped to +-vsize_z/2, passfunc = identity)
     loc_p = res.sample_loc_w
-    if is_train and ksj is not None and cfg.shpnt_jitter in ("uniform",
-                                                             "gaussian"):
+    shade_u = noise.get("shade_u")
+    if is_train and shade_u is not None and cfg.shpnt_jitter in ("uniform",
+                                                                 "gaussian"):
         vz = pspec.vsize[2]
         if cfg.shpnt_jitter == "uniform":
-            j = (jax.random.uniform(ksj, loc_p.shape[:-1]) - 0.5) * vz
+            j = (shade_u - 0.5) * vz
         else:
-            j = jnp.clip(jax.random.normal(ksj, loc_p.shape[:-1]) * (vz / 4),
-                         -vz / 2, vz / 2)
+            j = jnp.clip(shade_u * (vz / 4), -vz / 2, vz / 2)
         loc_p = loc_p.at[..., 2].add(
             jnp.where(res.sample_loc_mask, j, 0.0))
     # loc_p holds PERSPECTIVE coords; lift back to world for the shared
@@ -838,5 +892,6 @@ def render_rays_perspective(params: Dict[str, Any], cloud: NeuralPointCloud,
     loc_w = jnp.where(res.sample_loc_mask[..., None], loc_w, 0.0)
     return _shade_and_march(params, cloud, cfg, res.sample_pidx, loc_w,
                             res.ray_mask, campos, raydir, camrotc2w,
-                            bg_color, prob, key=kg if is_train else None,
+                            bg_color, prob,
+                            key=noise.get("kg") if is_train else None,
                             is_train=is_train)

@@ -143,8 +143,25 @@ def create_train_state(params, cloud, tcfg: TrainConfig) -> TrainState:
 
 def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                      tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-                     key: jax.Array, pspec=None):
+                     key: jax.Array, pspec=None, ray_mesh=None):
     net_tx, pts_tx = make_optimizers(tcfg)
+
+    noise = None
+    if ray_mesh is not None:
+        # ray-DP (--ray_shards): the render runs inside shard_map (the
+        # Pallas kernels cannot be GSPMD-partitioned), so per-ray
+        # randomness must be drawn OUT HERE at global shape — sharded like
+        # the rays — to keep sharded == unsharded training bit-identical
+        # (parallel/sharded.py, renderer.draw_render_noise).
+        from ..models.renderer import draw_render_noise
+        B, R, _ = batch["raydir"].shape
+        use_sem = (bool(cfg.semantic_guidance) and pspec is None
+                   and batch.get("pixel_label") is not None)
+        noise = draw_render_noise(key, cfg, B, R, grid=grid,
+                                  guidance=use_sem,
+                                  perspective=pspec is not None,
+                                  is_train=True,
+                                  dtype=batch["raydir"].dtype)
 
     def loss_fn(params, pts):
         # frozen fields get stop_gradient BEFORE the forward so XLA never
@@ -153,7 +170,17 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
         pts = {k: (v if tcfg.grad_switch(k) else jax.lax.stop_gradient(v))
                for k, v in pts.items()}
         cloud = _with_points(state.cloud, pts)
-        if pspec is not None:
+        if ray_mesh is not None:
+            from ..parallel.sharded import render_rays_sharded
+            out = render_rays_sharded(
+                params, cloud, grid, cfg, ray_mesh,
+                campos=batch["campos"], raydir=batch["raydir"],
+                camrotc2w=batch["camrotc2w"], near=batch["near"],
+                far=batch["far"], bg_color=batch.get("bg_color"),
+                pixel_label=(None if pspec is not None
+                             else batch.get("pixel_label")),
+                noise=noise, pspec=pspec, is_train=True)
+        elif pspec is not None:
             # wcoord_query=0: Point-NeRF's per-frame perspective-space query
             # (reference query_point_indices.py via neural_points.py:426).
             # No semantic guidance here — the reference only added it to
@@ -243,11 +270,11 @@ def _train_step_impl(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     return new_state, losses
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec"),
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec", "ray_mesh"),
          donate_argnums=(0,))
 def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                tcfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-               key: jax.Array, pspec=None
+               key: jax.Array, pspec=None, ray_mesh=None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.
 
@@ -255,15 +282,18 @@ def train_step(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     near/far scalars, bg_color (3,), optional pixel_label (B,R).
     pspec: static perspective-frustum GridSpec — routes the forward through
     the wcoord_query=0 querier (grid is then unused and pruned by jit).
+    ray_mesh: static Mesh — runs the render forward inside shard_map with
+    rays sharded over the mesh ("data" axis; parallel/sharded.py).
     """
-    return _train_step_impl(state, grid, cfg, tcfg, batch, key, pspec=pspec)
+    return _train_step_impl(state, grid, cfg, tcfg, batch, key, pspec=pspec,
+                            ray_mesh=ray_mesh)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec"),
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "pspec", "ray_mesh"),
          donate_argnums=(0,))
 def train_step_multi(state: TrainState, grid: PointGrid, cfg: RenderConfig,
                      tcfg: TrainConfig, batches: Dict[str, jnp.ndarray],
-                     keys: jax.Array, pspec=None):
+                     keys: jax.Array, pspec=None, ray_mesh=None):
     """G optimization steps in ONE dispatch (lax.scan over stacked
     batches). ~27 ms of every dispatch is host-side enqueue through the
     remote tunnel that pipelining does not hide (PERFORMANCE.md); at
@@ -277,6 +307,6 @@ def train_step_multi(state: TrainState, grid: PointGrid, cfg: RenderConfig,
     def body(st, xs):
         batch, key = xs
         st, losses = _train_step_impl(st, grid, cfg, tcfg, batch, key,
-                                      pspec=pspec)
+                                      pspec=pspec, ray_mesh=ray_mesh)
         return st, losses
     return jax.lax.scan(body, state, (batches, keys))

@@ -262,7 +262,8 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
                     dedup_cap: int = 160,
                     campos: Optional[jnp.ndarray] = None,
                     raydir: Optional[jnp.ndarray] = None,
-                    tvals: Optional[jnp.ndarray] = None) -> QueryResult:
+                    tvals: Optional[jnp.ndarray] = None,
+                    guide_u: Optional[jnp.ndarray] = None) -> QueryResult:
     """Full query pipeline: sample masking -> SR compaction -> KNN.
 
     points_xyz: (N,3) the full (padded) point store; raypos: (B,R,D,3).
@@ -397,7 +398,12 @@ def query_neighbors(grid: PointGrid, points_xyz: jnp.ndarray,
         # reference predicate (:548-556): always accept matching/void labels;
         # mismatches accepted with P = #{s in 0..9 : s <= 1 - int(10*prob)}/10
         p_acc = jnp.clip(2 - label_prob_i, 0, 10).astype(d2.dtype) / 10.0
-        if key is None:
+        # guide_u: pre-drawn uniforms of d2's shape (draw_render_noise) —
+        # lets the ray-DP shard_map path draw OUTSIDE the mapped region so
+        # sharded acceptance matches the unsharded draw bit-for-bit
+        if guide_u is not None:
+            stochastic = guide_u < p_acc
+        elif key is None:
             stochastic = p_acc >= 1.0
         else:
             stochastic = jax.random.uniform(key, d2.shape) < p_acc

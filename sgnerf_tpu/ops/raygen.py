@@ -22,21 +22,26 @@ import jax
 import jax.numpy as jnp
 
 
-def _jitter_lengths(key, base_lengths, B, R, D, jitter):
-    if jitter <= 0.0 or key is None:
+def _jitter_lengths(key, base_lengths, B, R, D, jitter, u=None):
+    # `u` (B,R,D): pre-drawn uniforms (draw_render_noise) — the ray-DP
+    # shard_map path draws per-ray randomness OUTSIDE the mapped region so
+    # sharded and unsharded runs see identical bits (parallel/sharded.py)
+    if jitter <= 0.0 or (key is None and u is None):
         return jnp.broadcast_to(base_lengths, (B, R, D))
-    u = jax.random.uniform(key, (B, R, D), dtype=base_lengths.dtype)
+    if u is None:
+        u = jax.random.uniform(key, (B, R, D), dtype=base_lengths.dtype)
     return base_lengths * (1.0 + jitter * (u - 0.5))
 
 
 def near_far_linear_ray_generation(campos, raydir, point_count, near=0.1, far=10.0,
-                                   jitter=0.0, key: Optional[jax.Array] = None, **_):
+                                   jitter=0.0, key: Optional[jax.Array] = None,
+                                   u=None, **_):
     B, R = raydir.shape[0], raydir.shape[1]
     D = point_count
     tvals = jnp.linspace(0.0, 1.0, D + 1, dtype=raydir.dtype)
     tvals = near * (1.0 - tvals) + far * tvals  # (D+1,)
     seg = (tvals[1:] - tvals[:-1])[None, None, :]  # (1,1,D)
-    seg = _jitter_lengths(key, seg, B, R, D, jitter)
+    seg = _jitter_lengths(key, seg, B, R, D, jitter, u=u)
     end_ts = near + jnp.concatenate(
         [jnp.zeros((B, R, 1), seg.dtype), jnp.cumsum(seg, axis=-1)], axis=-1)
     ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])  # (B,R,D)
@@ -48,13 +53,14 @@ def near_far_linear_ray_generation(campos, raydir, point_count, near=0.1, far=10
 
 def near_far_disparity_linear_ray_generation(campos, raydir, point_count, near=0.1,
                                              far=10.0, jitter=0.0,
-                                             key: Optional[jax.Array] = None, **_):
+                                             key: Optional[jax.Array] = None,
+                                             u=None, **_):
     B, R = raydir.shape[0], raydir.shape[1]
     D = point_count
     t = jnp.linspace(0.0, 1.0, D + 1, dtype=raydir.dtype)
     tvals = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     seg = (tvals[1:] - tvals[:-1])[None, None, :]
-    seg = _jitter_lengths(key, seg, B, R, D, jitter)
+    seg = _jitter_lengths(key, seg, B, R, D, jitter, u=u)
     end_ts = near + jnp.concatenate(
         [jnp.zeros((B, R, 1), seg.dtype), jnp.cumsum(seg, axis=-1)], axis=-1)
     ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
@@ -64,25 +70,27 @@ def near_far_disparity_linear_ray_generation(campos, raydir, point_count, near=0
     return raypos, seg, valid, ts
 
 
-def _nerf_stratified(key, tvals, B, R, D, jitter):
+def _nerf_stratified(key, tvals, B, R, D, jitter, u=None):
     """NeRF-style stratified resampling of sample positions."""
-    if jitter <= 0.0 or key is None:
+    if jitter <= 0.0 or (key is None and u is None):
         return jnp.broadcast_to(tvals[None, None, :], (B, R, D))
     mids = 0.5 * (tvals[1:] + tvals[:-1])
     upper = jnp.concatenate([mids, tvals[-1:]], axis=-1)
     lower = jnp.concatenate([tvals[:1], mids], axis=-1)
-    u = jax.random.uniform(key, (B, R, D), dtype=tvals.dtype)
+    if u is None:
+        u = jax.random.uniform(key, (B, R, D), dtype=tvals.dtype)
     return lower[None, None, :] + (upper - lower)[None, None, :] * u
 
 
 def nerf_near_far_linear_ray_generation(campos, raydir, point_count, near=0.1,
                                         far=10.0, jitter=1.0,
-                                        key: Optional[jax.Array] = None, **_):
+                                        key: Optional[jax.Array] = None,
+                                        u=None, **_):
     B, R = raydir.shape[0], raydir.shape[1]
     D = point_count
     t = jnp.linspace(0.0, 1.0, D, dtype=raydir.dtype)
     tvals = near * (1.0 - t) + far * t
-    ts = _nerf_stratified(key, tvals, B, R, D, jitter)
+    ts = _nerf_stratified(key, tvals, B, R, D, jitter, u=u)
     seg = jnp.concatenate(
         [ts[..., 1:] - ts[..., :-1],
          jnp.full((B, R, 1), 1e10, dtype=ts.dtype)], axis=-1)
@@ -93,12 +101,13 @@ def nerf_near_far_linear_ray_generation(campos, raydir, point_count, near=0.1,
 
 def nerf_near_far_disparity_linear_ray_generation(campos, raydir, point_count,
                                                   near=0.1, far=10.0, jitter=1.0,
-                                                  key: Optional[jax.Array] = None, **_):
+                                                  key: Optional[jax.Array] = None,
+                                                  u=None, **_):
     B, R = raydir.shape[0], raydir.shape[1]
     D = point_count
     t = jnp.linspace(0.0, 1.0, D, dtype=raydir.dtype)
     tvals = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
-    ts = _nerf_stratified(key, tvals, B, R, D, jitter)
+    ts = _nerf_stratified(key, tvals, B, R, D, jitter, u=u)
     seg = jnp.concatenate(
         [ts[..., 1:] - ts[..., :-1],
          jnp.full((B, R, 1), 1e10, dtype=ts.dtype)], axis=-1)
@@ -143,7 +152,7 @@ def sample_pdf(bins, weights, n_samples, key: Optional[jax.Array] = None, det=Fa
 
 def cube_ray_generation(campos, raydir, point_count, near=0.1, far=10.0,
                         jitter=0.0, key: Optional[jax.Array] = None,
-                        domain_size=1.0, **_):
+                        domain_size=1.0, u=None, **_):
     """Linear samples on the ray span clipped to the [-domain_size,
     domain_size]^3 cube. The reference registers `cube` as its feedforward
     default (diff_ray_marching.py:9-10) but never defines the function (a
@@ -169,9 +178,10 @@ def cube_ray_generation(campos, raydir, point_count, near=0.1, far=10.0,
     t = jnp.linspace(0.0, 1.0, D + 1, dtype=raydir.dtype)
     tvals = tn[..., None] * (1.0 - t) + tf[..., None] * t    # (B,R,D+1)
     seg = tvals[..., 1:] - tvals[..., :-1]
-    if jitter > 0 and key is not None:
-        seg = seg * (1.0 + jitter * jax.random.uniform(
-            key, seg.shape, seg.dtype, -1.0, 1.0))
+    if jitter > 0 and (key is not None or u is not None):
+        if u is None:
+            u = jax.random.uniform(key, seg.shape, seg.dtype, -1.0, 1.0)
+        seg = seg * (1.0 + jitter * u)
     end_ts = tn[..., None] + jnp.concatenate(
         [jnp.zeros((B, R, 1), seg.dtype), jnp.cumsum(seg, axis=-1)], axis=-1)
     ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])

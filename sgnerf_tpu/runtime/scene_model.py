@@ -40,40 +40,66 @@ from ..ops.scatter import construct_vox_points_closest
 
 
 def _render_chunk_group(params, cloud, grid, cfg, campos, raydirs,
-                        rot, near, far, bg, pspec=None):
+                        rot, near, far, bg, pspec=None, ray_mesh=None):
     """Render (G,B,Rc,3) ray-dir chunks in ONE dispatch: lax.map over the
     G axis, with each body rendering B chunks stacked on the renderer's
     batch axis (campos/rot are (B,...)). B=1 is the classic chunk loop;
     B>1 (--chunk_stack) batches the per-chunk gathers/top_k into single
     ops, amortizing their per-op floors (probe_bstack_render.py A/B).
-    pspec (static) routes through the perspective querier
-    (wcoord_query=0)."""
+    pspec (static) routes through the perspective querier (wcoord_query=0).
+    ray_mesh (static): --ray_shards — the whole dispatch runs inside
+    shard_map with the chunk-ray axis (axis 2) sharded over the mesh: each
+    device renders its contiguous ray block with the full single-chip
+    program. Mosaic kernels cannot be GSPMD-partitioned (the sharded fused
+    render refuses to compile on real multi-chip, probe_raydp_aot.py), and
+    inside shard_map the forward is collective-free by construction
+    (parallel/sharded.py, tests/test_scaling_proof.py)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "pspec"))
+    @functools.partial(jax.jit, static_argnames=("cfg", "pspec", "ray_mesh"))
     def go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
-           pspec):
-        def one(rd):
-            if pspec is not None:
-                from ..models.renderer import render_rays_perspective
-                out = render_rays_perspective(
-                    params, cloud, pspec, cfg, campos=campos, raydir=rd,
-                    camrotc2w=rot, near=near, far=far, bg_color=bg,
-                    is_train=False)
-            else:
-                out = render_rays(params, cloud, grid, cfg, campos=campos,
-                                  raydir=rd, camrotc2w=rot, near=near,
-                                  far=far, bg_color=bg, is_train=False)
-            return (out["coarse_raycolor"],        # (B, Rc, 3)
-                    out["coarse_is_background"],   # (B, Rc, 1) — bgT, lets
-                    #   the caller swap the constant background for a
-                    #   per-ray one (--bgmodel plane) without re-rendering
-                    out.get("attr_dedup_overflow", jnp.asarray(0)))
-        cols, bgt, over = jax.lax.map(one, raydirs)
-        return cols, bgt, over                     # over: (G,) per-chunk
+           pspec, ray_mesh):
+        def body(params, cloud, grid, campos, raydirs, rot, near, far, bg):
+            def one(rd):
+                if pspec is not None:
+                    from ..models.renderer import render_rays_perspective
+                    out = render_rays_perspective(
+                        params, cloud, pspec, cfg, campos=campos, raydir=rd,
+                        camrotc2w=rot, near=near, far=far, bg_color=bg,
+                        is_train=False)
+                else:
+                    out = render_rays(params, cloud, grid, cfg,
+                                      campos=campos, raydir=rd,
+                                      camrotc2w=rot, near=near,
+                                      far=far, bg_color=bg, is_train=False)
+                return (out["coarse_raycolor"],        # (B, Rc, 3)
+                        out["coarse_is_background"],   # (B, Rc, 1) — bgT,
+                        #   lets the caller swap the constant background for
+                        #   a per-ray one (--bgmodel plane) w/o re-rendering
+                        out.get("attr_dedup_overflow", jnp.asarray(0)))
+            cols, bgt, over = jax.lax.map(one, raydirs)
+            if ray_mesh is not None:
+                # per-chunk overflow counts sum across the ray shards so
+                # the exact-overflow re-render triggers on any shard
+                over = jax.lax.psum(over, "data")
+            return cols, bgt, over                     # over: (G,) per-chunk
+        if ray_mesh is None:
+            return body(params, cloud, grid, campos, raydirs, rot, near,
+                        far, bg)
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharded import shard_map
+        ray = P(None, None, "data")
+        rep = P()
+        # check_vma=False: Mosaic out_shape structs carry no vma annotation
+        # (see parallel/sharded.py render_rays_sharded)
+        return shard_map(
+            body, mesh=ray_mesh,
+            in_specs=(rep, rep, rep, rep, ray, rep, rep, rep, rep),
+            out_specs=(ray, ray, rep), check_vma=False)(
+            params, cloud, grid, campos, raydirs, rot, near, far, bg)
 
     return go(params, cloud, grid, cfg, campos, raydirs, rot, near, far, bg,
-              pspec)
+              pspec, ray_mesh)
 
 
 def get_latest_epoch(ckpt_dir: str) -> Optional[int]:
@@ -474,7 +500,7 @@ class SceneModel:
             self.grid = jax.device_put(self.grid, rep)
         self.state, losses = train_step_multi(
             self.state, self.grid, self.cfg, self.tcfg, stacked, keys,
-            pspec=self.pspec)
+            pspec=self.pspec, ray_mesh=self.ray_mesh)
         G = len(batches)
         return [jax.tree.map(lambda a: a[i], losses) for i in range(G)]
 
@@ -698,7 +724,8 @@ class SceneModel:
                 rds = ray_put(rds)
             c, bgt, over = _render_chunk_group(
                 st.params, st.cloud, self.grid, self.cfg, campos, rds,
-                rot, near, far, bg, pspec=self.pspec)
+                rot, near, far, bg, pspec=self.pspec,
+                ray_mesh=self.ray_mesh)
             cols.append(c)
             bgts.append(bgt)
             overs.append(over)
@@ -723,7 +750,8 @@ class SceneModel:
                     cfg_plain = dataclasses.replace(self.cfg, attr_dedup=0)
                 c, bgt, _ = _render_chunk_group(
                     st.params, st.cloud, self.grid, cfg_plain, campos,
-                    groups[i], rot, near, far, bg, pspec=self.pspec)
+                    groups[i], rot, near, far, bg, pspec=self.pspec,
+                    ray_mesh=self.ray_mesh)
                 cols[i] = c
                 bgts[i] = bgt
             if n_over > 0 and not getattr(self, "_warned_attr_over", False):
