@@ -174,3 +174,45 @@ def test_ray_dp_render_with_attr_dedup_matches_unsharded():
                  jax.device_put(grid, rep),
                  jax.device_put(batch["raydir"], rs))
     np.testing.assert_allclose(np.asarray(out), base, atol=1e-5)
+
+
+def test_sharded_train_step_multi_matches_sequential():
+    """--steps_per_dispatch composes with --ray_shards: G scanned steps
+    with the render inside shard_map (train_step_multi ray_mesh) equal G
+    sequential sharded steps."""
+    import jax.numpy as jnp
+    from sgnerf_tpu.models.train import train_step_multi
+    from sgnerf_tpu.parallel.sharded import replicate_tree, shard_batch as sb
+
+    cloud, grid, cfg, params = _scene()
+    tcfg = TrainConfig()
+    G = 3
+    batches = [_batch(R=64) for _ in range(G)]
+    keys = jax.random.split(jax.random.key(11), G)
+
+    s1 = create_train_state(params, cloud, tcfg)
+    for i in range(G):
+        s1, losses1 = train_step(s1, grid, cfg, tcfg, batches[i], keys[i])
+
+    cloud2, grid2, cfg2, params2 = _scene()
+    mesh = make_mesh(8)
+    s2 = create_train_state(params2, cloud2, tcfg)
+    s2 = replicate_tree(s2, mesh)
+    grid2 = replicate_tree(grid2, mesh)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    from sgnerf_tpu.parallel.mesh import ray_sharding, replicated
+    rs = ray_sharding(mesh, ray_axis=2)
+    rep = replicated(mesh)
+    from sgnerf_tpu.parallel.sharded import _RAY_KEYS
+    stacked = {k: jax.device_put(v, rs if k in _RAY_KEYS else rep)
+               for k, v in stacked.items()}
+    s2, losses2 = train_step_multi(s2, grid2, cfg2, tcfg, stacked, keys,
+                                   ray_mesh=mesh)
+
+    np.testing.assert_allclose(
+        float(losses1["total"]),
+        float(jax.tree.map(lambda a: a[G - 1], losses2)["total"]),
+        rtol=1e-4)
+    a = np.asarray(jax.tree.leaves(s1.params)[0])
+    b = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
