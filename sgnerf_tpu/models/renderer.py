@@ -500,7 +500,9 @@ def draw_render_noise(key: jax.Array, cfg: "RenderConfig", B: int, R: int, *,
         assert grid is not None
         spec = grid.spec
         if spec.nbr_cache > 0 and grid.nbr_packed.shape[0] > 0:
-            shape = (B, R, cfg.SR, grid.nbr_packed.shape[-1] // 5)
+            # candidate count C == spec.nbr_cache (unpack_cache derives the
+            # same from the packed row width / cache-dtype lane count)
+            shape = (B, R, cfg.SR, spec.nbr_cache)
         else:
             kv = (spec.kernel_size[0] * spec.kernel_size[1]
                   * spec.kernel_size[2])

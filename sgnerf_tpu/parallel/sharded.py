@@ -73,31 +73,46 @@ def _noise_spec(noise: Optional[Dict[str, Any]]):
 def render_rays_sharded(params, cloud, grid, cfg, mesh: Mesh, *,
                         campos, raydir, camrotc2w, near, far,
                         bg_color=None, pixel_label=None, noise=None,
-                        pspec=None, is_train=False, prob=False):
+                        key=None, pspec=None, is_train=False, prob=False):
     """`render_rays` (or the perspective path when `pspec` is given) with
     the ray axis sharded over `mesh` via shard_map.
 
     Per-ray outputs come back sharded P(None, "data"); scalar outputs (the
     attr_dedup / gather-VJP overflow counters) are psum'd to global counts.
-    `noise` must already be drawn at global shape (draw_render_noise) when
-    the config needs randomness — this function never draws.
+    Randomness: pass `noise` already drawn at GLOBAL shape
+    (draw_render_noise), or a `key` — this function then draws the noise
+    itself, outside the mapped region, which is the same thing.
     """
     ray = P(None, "data")
     rep = P()
 
-    def body(params, cloud, grid, campos, raydir, camrotc2w, near, far,
+    if noise is None and key is not None:
+        from ..models.renderer import draw_render_noise
+        use_sem = (bool(cfg.semantic_guidance) and is_train
+                   and pspec is None and pixel_label is not None)
+        noise = draw_render_noise(key, cfg, raydir.shape[0],
+                                  raydir.shape[1], grid=grid,
+                                  guidance=use_sem,
+                                  perspective=pspec is not None,
+                                  is_train=is_train, dtype=raydir.dtype)
+
+    def core(params, cloud, grid, campos, raydir, camrotc2w, near, far,
              bg_color, pixel_label, noise):
         if pspec is not None:
-            out = render_rays_perspective(
+            return render_rays_perspective(
                 params, cloud, pspec, cfg, campos=campos, raydir=raydir,
                 camrotc2w=camrotc2w, near=near, far=far, bg_color=bg_color,
                 noise=noise, is_train=is_train, prob=prob)
-        else:
-            out = render_rays(
-                params, cloud, grid, cfg, campos=campos, raydir=raydir,
-                camrotc2w=camrotc2w, near=near, far=far, bg_color=bg_color,
-                pixel_label=pixel_label, noise=noise, is_train=is_train,
-                prob=prob)
+        return render_rays(
+            params, cloud, grid, cfg, campos=campos, raydir=raydir,
+            camrotc2w=camrotc2w, near=near, far=far, bg_color=bg_color,
+            pixel_label=pixel_label, noise=noise, is_train=is_train,
+            prob=prob)
+
+    def body(params, cloud, grid, campos, raydir, camrotc2w, near, far,
+             bg_color, pixel_label, noise):
+        out = core(params, cloud, grid, campos, raydir, camrotc2w, near,
+                   far, bg_color, pixel_label, noise)
         # scalar diagnostics (overflow counters) sum across ray shards
         return {k: (jax.lax.psum(v, "data") if v.ndim == 0 else v)
                 for k, v in out.items()}
@@ -105,9 +120,12 @@ def render_rays_sharded(params, cloud, grid, cfg, mesh: Mesh, *,
     in_specs = (rep, rep, rep, rep, ray, rep, rep, rep, rep,
                 ray if pixel_label is not None else rep,
                 _noise_spec(noise))
-    # output structure (local shapes) -> per-ray P(None,"data") vs scalar P()
+    # output structure (local shapes) -> per-ray P(None,"data") vs scalar
+    # P(). Probed on `core`, NOT `body`: eval_shape runs outside the mesh
+    # axis binding, where body's psum("data") would raise an unbound-axis
+    # error (psum does not change shape/dtype, so core's shapes are body's).
     shapes = jax.eval_shape(
-        lambda *a: body(*a),
+        lambda *a: core(*a),
         params, cloud, grid, campos,
         jax.ShapeDtypeStruct((raydir.shape[0],
                               raydir.shape[1] // mesh.size, 3),

@@ -216,3 +216,151 @@ def test_sharded_train_step_multi_matches_sequential():
     a = np.asarray(jax.tree.leaves(s1.params)[0])
     b = np.asarray(jax.tree.leaves(s2.params)[0])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_render_guidance_with_key_matches_unsharded():
+    """Ray-DP + semantic guidance + a PRNG key: the stochastic acceptance
+    draws match the unsharded render bit-for-bit (guide_u pre-drawn at
+    global shape by draw_render_noise; raygen jitter rides along since
+    cfg.jitter defaults on)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from sgnerf_tpu.models.renderer import render_rays
+    from sgnerf_tpu.parallel.sharded import (render_rays_sharded,
+                                             replicate_tree)
+
+    cloud, grid, cfg, params = _scene()
+    rng = np.random.default_rng(13)
+    n = cloud.xyz.shape[0]
+    cloud = dataclasses.replace(
+        cloud,
+        label=jnp.asarray(rng.integers(0, 5, n).astype(np.int32)),
+        label_prob=jnp.asarray(
+            rng.dirichlet(np.ones(20), n).astype(np.float32)))
+    scfg = dataclasses.replace(cfg, semantic_guidance=1)
+    batch = _batch(R=64)
+    pixel_label = jnp.asarray(rng.integers(0, 5, (1, 64)).astype(np.int32))
+    key = jax.random.key(21)
+
+    ref = render_rays(params, cloud, grid, scfg, campos=batch["campos"],
+                      raydir=batch["raydir"], camrotc2w=batch["camrotc2w"],
+                      near=1.0, far=5.0, bg_color=batch["bg_color"],
+                      pixel_label=pixel_label, key=key, is_train=True)
+
+    mesh = make_mesh(8)
+    from sgnerf_tpu.parallel.mesh import ray_sharding
+    out = render_rays_sharded(
+        replicate_tree(params, mesh), replicate_tree(cloud, mesh),
+        replicate_tree(grid, mesh), scfg, mesh,
+        campos=batch["campos"],
+        raydir=jax.device_put(batch["raydir"], ray_sharding(mesh)),
+        camrotc2w=batch["camrotc2w"], near=1.0, far=5.0,
+        bg_color=batch["bg_color"],
+        pixel_label=jax.device_put(pixel_label, ray_sharding(mesh)),
+        key=key, is_train=True)
+
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=2e-5, rtol=1e-4)
+    # the guidance path really drew: a different key flips acceptances
+    ref2 = render_rays(params, cloud, grid, scfg, campos=batch["campos"],
+                       raydir=batch["raydir"], camrotc2w=batch["camrotc2w"],
+                       near=1.0, far=5.0, bg_color=batch["bg_color"],
+                       pixel_label=pixel_label, key=jax.random.key(99),
+                       is_train=True)
+    assert np.abs(np.asarray(ref2["coarse_raycolor"])
+                  - np.asarray(ref["coarse_raycolor"])).max() > 0
+
+
+def test_sharded_train_step_raydedup_overflow_scalar():
+    """--gather_vjp raydedup under --ray_shards: the gvjp_overflow SCALAR
+    output psums across ray shards instead of crashing eval_shape with an
+    unbound-axis error (round-5 review finding)."""
+    import dataclasses
+
+    cloud, grid, cfg, params = _scene()
+    cfg = dataclasses.replace(cfg, gather_vjp="raydedup")
+    tcfg = TrainConfig()
+    batch = _batch(R=64)
+    key = jax.random.key(7)
+
+    s1 = create_train_state(params, cloud, tcfg)
+    s1, losses1 = train_step(s1, grid, cfg, tcfg, batch, key)
+    assert "gvjp_overflow" in losses1
+
+    cloud2, grid2, cfg2, params2 = _scene()
+    cfg2 = dataclasses.replace(cfg2, gather_vjp="raydedup")
+    mesh = make_mesh(8)
+    s2 = create_train_state(params2, cloud2, tcfg)
+    s2, losses2 = sharded_train_step(s2, grid2, cfg2, tcfg, batch, key, mesh)
+    np.testing.assert_allclose(
+        float(losses1["gvjp_overflow"]), float(losses2["gvjp_overflow"]))
+    np.testing.assert_allclose(
+        float(losses1["total"]), float(losses2["total"]), rtol=1e-4)
+
+
+def test_sharded_render_attr_dedup_overflow_scalar():
+    """attr_dedup eval render through render_rays_sharded: runs (scalar
+    overflow psum inside shard_map) and matches the unsharded dedup render;
+    overflow counts agree."""
+    import dataclasses
+    from sgnerf_tpu.models.renderer import render_rays
+    from sgnerf_tpu.parallel.sharded import (render_rays_sharded,
+                                             replicate_tree)
+    from sgnerf_tpu.parallel.mesh import ray_sharding
+
+    cloud, grid, cfg, params = _scene()
+    # R=512: 64 local rays per shard = one attr tile (dedup asserts
+    # tile-divisibility of the LOCAL ray count)
+    cfg = dataclasses.replace(cfg, attr_dedup=256)
+    batch = _batch(R=512)
+
+    ref = render_rays(params, cloud, grid, cfg, campos=batch["campos"],
+                      raydir=batch["raydir"], camrotc2w=batch["camrotc2w"],
+                      near=1.0, far=5.0, bg_color=batch["bg_color"])
+    mesh = make_mesh(8)
+    out = render_rays_sharded(
+        replicate_tree(params, mesh), replicate_tree(cloud, mesh),
+        replicate_tree(grid, mesh), cfg, mesh,
+        campos=batch["campos"],
+        raydir=jax.device_put(batch["raydir"], ray_sharding(mesh)),
+        camrotc2w=batch["camrotc2w"], near=1.0, far=5.0,
+        bg_color=batch["bg_color"])
+    np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                               np.asarray(ref["coarse_raycolor"]),
+                               atol=2e-5, rtol=1e-4)
+    assert float(out["attr_dedup_overflow"]) == float(
+        ref["attr_dedup_overflow"])
+
+
+def test_sharded_train_step_perspective_shade_jitter_matches():
+    """Perspective path + shpnt_jitter=uniform + key under ray-DP: the
+    shade_u draw matches the unsharded step (draw_render_noise resplit
+    sequence)."""
+    import dataclasses
+    from sgnerf_tpu.ops.query_pers import perspective_spec_from_camera
+
+    cloud, grid, cfg, params = _scene()
+    cfg = dataclasses.replace(cfg, shpnt_jitter="uniform")
+    tcfg = TrainConfig()
+    batch = _batch(R=64)
+    key = jax.random.key(9)
+    intr = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]],
+                    np.float32)
+    pspec = perspective_spec_from_camera(
+        intr, 32, 24, 1.0, 5.0, [0.1] * 3, [1, 1, 1], [3, 3, 3], 4096, 16)
+
+    s1 = create_train_state(params, cloud, tcfg)
+    s1, losses1 = train_step(s1, grid, cfg, tcfg, batch, key, pspec=pspec)
+
+    cloud2, grid2, cfg2, params2 = _scene()
+    cfg2 = dataclasses.replace(cfg2, shpnt_jitter="uniform")
+    mesh = make_mesh(8)
+    s2 = create_train_state(params2, cloud2, tcfg)
+    s2, losses2 = sharded_train_step(s2, grid2, cfg2, tcfg, batch, key,
+                                     mesh, pspec=pspec)
+    np.testing.assert_allclose(
+        float(losses1["total"]), float(losses2["total"]), rtol=1e-4)
+    a = np.asarray(jax.tree.leaves(s1.params)[0])
+    b = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
