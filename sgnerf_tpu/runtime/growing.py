@@ -9,6 +9,7 @@ max-opacity shading location, and the cloud grows into its capacity padding
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -16,6 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.renderer import render_rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _probe_render_sharded(params, cloud, grid, cfg, mesh, campos, raydir,
+                          camrotc2w, near, far, bg_color):
+    """Probe render under --ray_shards: Mosaic kernels cannot be GSPMD-
+    partitioned (PERFORMANCE.md round 5), so once the state is replicated
+    over the ray mesh EVERY render — including this prob-mode one — must run
+    inside shard_map or it refuses to compile on real multi-chip TPU. The
+    jit wrapper also caches render_rays_sharded's out_specs shape probe."""
+    from ..parallel.sharded import render_rays_sharded
+    return render_rays_sharded(params, cloud, grid, cfg, mesh,
+                               campos=campos, raydir=raydir,
+                               camrotc2w=camrotc2w, near=near, far=far,
+                               bg_color=bg_color, is_train=False, prob=True)
 
 
 PROBE_KEYS = ("coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
@@ -56,6 +72,10 @@ def render_probe_maps(model, item, chunk_rays: int = 2304,
     raydir = np.asarray(item["raydir"], np.float32)
     pix = np.asarray(item["pixel_idx"]).astype(np.int64)
     H, W = item["h"], item["w"]
+    mesh = getattr(model, "ray_mesh", None)
+    if mesh is not None:
+        # each shard_map shard takes a contiguous ray block
+        chunk_rays = -(-chunk_rays // mesh.size) * mesh.size
     R = len(raydir)
     pad = (-R) % chunk_rays
     rd = np.concatenate([raydir, np.zeros((pad, 3), np.float32)]) if pad \
@@ -64,18 +84,22 @@ def render_probe_maps(model, item, chunk_rays: int = 2304,
     st = model.state
     if grid is None:
         grid = model.grid
+    cam = dict(
+        campos=jnp.asarray(item["campos"][None]),
+        camrotc2w=jnp.asarray(item["camrotc2w"][None]),
+        near=jnp.asarray(item["near"]), far=jnp.asarray(item["far"]),
+        bg_color=jnp.asarray(item["bg_color"]))
     for s in range(0, len(rd), chunk_rays):
-        out = render_rays(
-            st.params, st.cloud, grid, model.cfg,
-            campos=jnp.asarray(item["campos"][None]),
-            raydir=jnp.asarray(rd[s:s + chunk_rays][None]),
-            camrotc2w=jnp.asarray(item["camrotc2w"][None]),
-            near=jnp.asarray(item["near"]), far=jnp.asarray(item["far"]),
-            bg_color=jnp.asarray(item["bg_color"]),
-            is_train=False, prob=True)
+        raydir_c = jnp.asarray(rd[s:s + chunk_rays][None])
+        if mesh is not None:
+            out = _probe_render_sharded(st.params, st.cloud, grid,
+                                        model.cfg, mesh, raydir=raydir_c,
+                                        **cam)
+        else:
+            out = render_rays(st.params, st.cloud, grid, model.cfg,
+                              raydir=raydir_c, is_train=False, prob=True,
+                              **cam)
         n = min(chunk_rays, R - s)
-        if n <= 0:
-            break
         cpix = pix[s:s + n]
         for key in PROBE_KEYS:
             v = np.asarray(out[key][0])[:n]

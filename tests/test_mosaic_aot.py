@@ -278,3 +278,22 @@ def test_raydp_fused_render_and_train_aot():
         sds(st, rep), sds(grid, rep), bsds,
         sds(jax.random.key(1), rep)).compile()
     assert c2.memory_analysis().generated_code_size_in_bytes > 0
+
+    # prob-mode probe render (runtime/growing.py render_probe_maps): the
+    # round-5 review found this path still called plain render_rays on the
+    # mesh-replicated state, which raises "Mosaic kernels cannot be
+    # automatically partitioned" on real multi-chip — pin that the shipped
+    # shard_map wrapper compiles with the fused kernels and stays
+    # collective-free like the main forward
+    from sgnerf_tpu.runtime.growing import _probe_render_sharded
+    c3 = _probe_render_sharded.lower(
+        sds(params, rep), sds(cloud, rep), sds(grid, rep), cfg, mesh4,
+        campos=bsds["campos"], raydir=bsds["raydir"],
+        camrotc2w=bsds["camrotc2w"], near=bsds["near"], far=bsds["far"],
+        bg_color=bsds["bg_color"]).compile()
+    txt3 = c3.as_text()
+    found3 = {p: len(re.findall(p, txt3))
+              for p in ("all-reduce", "all-gather", "collective-permute",
+                        "all-to-all", "reduce-scatter")}
+    assert not any(found3.values()), \
+        f"sharded probe render must be collective-free on TPU, got {found3}"

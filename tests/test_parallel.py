@@ -364,3 +364,45 @@ def test_sharded_train_step_perspective_shade_jitter_matches():
     a = np.asarray(jax.tree.leaves(s1.params)[0])
     b = np.asarray(jax.tree.leaves(s2.params)[0])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_probe_render_maps_sharded_matches_unsharded():
+    """--ray_shards point-growing probe renders (runtime/growing.py) run
+    inside shard_map and reproduce the unsharded maps exactly.
+
+    Regression for the round-5 review finding: render_probe_maps called
+    plain render_rays on the mesh-replicated state, which cannot compile
+    Mosaic kernels on real multi-chip TPU ("Mosaic kernels cannot be
+    automatically partitioned") — training with --ray_shards and active
+    point growing (reference probe_hole, run/train_ft.py:425-540) crashed
+    at the first grow step on real hardware."""
+    from types import SimpleNamespace
+    from sgnerf_tpu.runtime.growing import render_probe_maps
+
+    cloud, grid, cfg, params = _scene()
+    H = W = 8
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(H * W, 3)).astype(np.float32) * 0.25
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    item = {
+        "raydir": d,
+        "pixel_idx": np.stack([xx.ravel(), yy.ravel()], -1),
+        "h": H, "w": W,
+        "campos": np.array([0.0, 0.0, -3.0], np.float32),
+        "camrotc2w": np.eye(3, dtype=np.float32),
+        "near": 1.0, "far": 5.0,
+        "bg_color": np.ones(3, np.float32),
+    }
+    st = SimpleNamespace(params=params, cloud=cloud)
+    base = SimpleNamespace(state=st, grid=grid, cfg=cfg, ray_mesh=None)
+    ref = render_probe_maps(base, item, chunk_rays=16)
+    assert ref, "probe render produced no maps"
+    sh = SimpleNamespace(state=st, grid=grid, cfg=cfg, ray_mesh=make_mesh(8))
+    got = render_probe_maps(sh, item, chunk_rays=16)
+    assert set(ref) == set(got)
+    for k in ref:
+        # tiny float drift from different XLA fusion at the shard boundary
+        # (same 6e-08 scale as the dryrun's semantic-guidance leg)
+        np.testing.assert_allclose(ref[k], got[k], atol=1e-6, err_msg=k)
