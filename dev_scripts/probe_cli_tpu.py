@@ -115,6 +115,11 @@ run("train_ft.py", ["--name", "tpu_smoke", "--data_root", data,
                     "--checkpoints_dir", os.path.join(tmp, "ckpt"),
                     "--maximum_step", "8", "--save_iter_freq", "8",
                     "--test_freq", "0", "--print_freq", "4",
+                    # in-process probe growing (runtime/growing.py) on the
+                    # real backend — round-5 session-2 fix coverage
+                    "--prob_freq", "4", "--prob_num_step", "1",
+                    "--prob_kernel_size", "3", "3", "3",
+                    "--prob_tiers", "100",
                     "--test_num", "1"] + COMMON)
 r2 = run("test_ft.py", ["--name", "tpu_smoke", "--data_root", data,
                         "--checkpoints_dir", os.path.join(tmp, "ckpt"),

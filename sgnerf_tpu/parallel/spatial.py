@@ -111,16 +111,23 @@ def _round_up(v: int, b: int) -> int:
 def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
                        gspec: GridSpec, n_shards: int, capacity: int, *,
                        pts_bucket: int = 4096, vox_bucket: int = 8192,
-                       halo_override: Optional[int] = None):
+                       halo_override: Optional[int] = None,
+                       need_tables: bool = True):
     """Host-side (numpy) slab planning: per-shard point selection and
     capacity sizing, WITHOUT building any device tables. Used by
     build_sharded_scene and by the deviceless AOT memory proof
     (dev_scripts/probe_spatial_aot_42m.py / tests/test_mosaic_aot.py),
     which needs the production SpatialSpec but not the 2.5 GB of tables.
 
+    need_tables=False (perspective-only scenes, wcoord_query=0): skip the
+    nbr-cache requirement and the dilated-voxel capacity sizing — the
+    world cache is never built there (build_sharded_scene build_tables).
+
     Returns (SpatialSpec, sels) where sels[i] are the global point indices
     of shard i (halo included)."""
-    assert gspec.nbr_cache > 0, "sharded rendering requires the nbr cache"
+    if need_tables:
+        assert gspec.nbr_cache > 0, \
+            "sharded rendering requires the nbr cache"
     xyz = np.asarray(xyz)
     active = np.asarray(active)
     X, Y, Z = gspec.vdim
@@ -150,7 +157,13 @@ def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
         sel = np.nonzero(inb & (gx >= lo - halo)
                          & (gx < lo + slab_w + halo))[0]
         sels.append(sel)
-        if len(sel):
+        if len(sel) and not need_tables:
+            # perspective-only: the dilated-voxel sizing below is seconds
+            # of host time at multi-million-point scale, for a cache table
+            # build_tables=False never constructs
+            occ_counts.append(len(np.unique(voxel[sel], axis=0)))
+            dil_counts.append(1)
+        elif len(sel):
             occ = np.unique(voxel[sel], axis=0)
             # dilation by the dilate extent around occupied voxels, clipped
             # to the shard window — sizes the cache table
@@ -159,7 +172,15 @@ def plan_sharded_scene(xyz: np.ndarray, active: np.ndarray,
                                         indexing="ij"), -1).reshape(-1, 3)
             dil = (occ[:, None, :] + offs[None]).reshape(-1, 3)
             lox = lo - halo
-            ok = ((dil[:, 0] >= max(lox, 0)) & (dil[:, 0] < min(lox + Lx, X))
+            # clip to the shard's LOCAL window — NOT the global grid: the
+            # per-shard build dilates over the whole (Lx, Y, Z) local
+            # array, so boundary shards enumerate dilated cells at global
+            # x<0 / x>=X too (their local cells exist; reachable whenever
+            # --query_size exceeds kernel_size, whose half-extent sets the
+            # global margin); clipping those out here undersized max_d_s
+            # and let the fixed-size nonzero in ops/grid.py silently drop
+            # owned high-x cache rows (round-5 review fix)
+            ok = ((dil[:, 0] >= lox) & (dil[:, 0] < lox + Lx)
                   & (dil[:, 1] >= 0) & (dil[:, 1] < Y)
                   & (dil[:, 2] >= 0) & (dil[:, 2] < Z))
             dil_counts.append(len(np.unique(dil[ok], axis=0)))
@@ -195,7 +216,7 @@ def build_sharded_scene(cloud: NeuralPointCloud, gspec: GridSpec,
     sspec, sels = plan_sharded_scene(
         cloud.xyz, cloud.active, gspec, n_shards, cloud.capacity,
         pts_bucket=pts_bucket, vox_bucket=vox_bucket,
-        halo_override=halo_override)
+        halo_override=halo_override, need_tables=build_tables)
     X, _, _ = gspec.vdim
     vsx = gspec.vsize[0]
     slab_w, halo = sspec.slab_w, sspec.halo
@@ -741,11 +762,12 @@ def create_spatial_train_state(params, scene: ShardedScene, tcfg
     )
 
 
-def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
-                       cfg: RenderConfig, tcfg, batch: Dict[str, Any],
-                       key: jax.Array, mesh: Mesh, return_grads: bool = False,
-                       pspec=None):
-    """One training step on a slab-sharded scene.
+def _spatial_train_step_impl(st: SpatialTrainState, sspec: SpatialSpec,
+                             cfg: RenderConfig, tcfg, batch: Dict[str, Any],
+                             key: jax.Array, mesh: Mesh,
+                             return_grads: bool = False, pspec=None):
+    """One training step on a slab-sharded scene (trace body — call the
+    jitted spatial_train_step / spatial_train_step_multi wrappers).
 
     Matches models/train.train_step on the equivalent replicated scene
     (asserted in tests/test_spatial.py):
@@ -832,7 +854,12 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
             buf = jax.lax.psum(buf, "data")
             return buf[jnp.clip(gid, 0, sspec.n_global - 1)].reshape(g.shape)
 
-        g_pts = jax.tree.map(sync, g_pts)
+        # frozen leaves (stop_gradient above) carry all-zero grads and the
+        # optimizer zeroes their updates anyway — skip their (n_global, C)
+        # scatter + psum rather than all-reducing guaranteed zeros over ICI
+        # every step (xyz alone is capacity x 3 f32 per step at scale)
+        g_pts = {k: (sync(g) if tcfg.grad_switch(k) else g)
+                 for k, g in g_pts.items()}
 
         if tcfg.alter_step > 0:
             phase = (step // tcfg.alter_step) % 3
@@ -886,6 +913,40 @@ def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
     return new_st, losses
 
 
+@partial(jax.jit, static_argnames=("sspec", "cfg", "tcfg", "mesh",
+                                   "return_grads", "pspec"))
+def _spatial_step_jit(st, sspec, cfg, tcfg, batch, key, mesh,
+                      return_grads, pspec):
+    return _spatial_train_step_impl(st, sspec, cfg, tcfg, batch, key, mesh,
+                                    return_grads=return_grads, pspec=pspec)
+
+
+def spatial_train_step(st: SpatialTrainState, sspec: SpatialSpec,
+                       cfg: RenderConfig, tcfg, batch: Dict[str, Any],
+                       key: jax.Array, mesh: Mesh, return_grads: bool = False,
+                       pspec=None):
+    """Jitted wrapper over _spatial_train_step_impl (docstring there).
+
+    Module-level jit (mesh static) so the trace cache HITS across training
+    steps — the old per-call eager shard_map re-traced the whole sharded
+    program on every step (round-5 review fix). No donation: callers
+    (tests, _sync_from_spatial) may still hold the input state's buffers.
+    """
+    return _spatial_step_jit(st, sspec, cfg, tcfg, batch, key, mesh,
+                             return_grads, pspec)
+
+
+@partial(jax.jit, static_argnames=("sspec", "cfg", "tcfg", "pspec", "mesh"),
+         donate_argnums=(0,))
+def _spatial_multi_jit(st, sspec, cfg, tcfg, batches, keys, pspec, mesh):
+    def body(s, xs):
+        b, k = xs
+        s2, losses = _spatial_train_step_impl(s, sspec, cfg, tcfg, b, k,
+                                              mesh, pspec=pspec)
+        return s2, losses
+    return jax.lax.scan(body, st, (batches, keys))
+
+
 def spatial_train_step_multi(st: SpatialTrainState, sspec: SpatialSpec,
                              cfg: RenderConfig, tcfg,
                              batches: Dict[str, Any], keys: jax.Array,
@@ -897,18 +958,12 @@ def spatial_train_step_multi(st: SpatialTrainState, sspec: SpatialSpec,
     already pays extra per-dispatch overhead for the shard_map program).
     Numerically matches G sequential spatial_train_step calls with the same
     keys (the scanned program fuses differently, reordering reductions:
-    measured drift ~2e-5 on 0.01% of attribute elements)."""
-    import functools
+    measured drift ~2e-5 on 0.01% of attribute elements).
 
-    @functools.partial(jax.jit,
-                       static_argnames=("sspec", "cfg", "tcfg", "pspec"),
-                       donate_argnums=(0,))
-    def go(st, sspec, cfg, tcfg, batches, keys, pspec):
-        def body(s, xs):
-            b, k = xs
-            s2, losses = spatial_train_step(s, sspec, cfg, tcfg, b, k, mesh,
-                                            pspec=pspec)
-            return s2, losses
-        return jax.lax.scan(body, st, (batches, keys))
-
-    return go(st, sspec, cfg, tcfg, batches, keys, pspec)
+    The jit is module-level (mesh static) so repeat dispatches hit the
+    trace cache — the old per-call `jax.jit(go)` closure re-traced all G
+    scanned shard_map steps on EVERY dispatch (round-5 review fix;
+    tests/test_spatial.py::test_spatial_train_step_multi_trace_cached).
+    Donates `st` like models/train.train_step_multi."""
+    return _spatial_multi_jit(st, sspec, cfg, tcfg, batches, keys, pspec,
+                              mesh)

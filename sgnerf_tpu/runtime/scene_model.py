@@ -514,7 +514,7 @@ class SceneModel:
             st = create_spatial_train_state(
                 self.state.params, self.sharded_scene, self.tcfg)
             self._spatial_tstate = dataclasses.replace(
-                st, step=self.state.step)
+                st, step=jnp.asarray(self.state.step, jnp.int32))
         missing = [b for b in batches if b.get("bg_color") is None]
         assert not missing or len(missing) == len(batches)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
@@ -535,7 +535,7 @@ class SceneModel:
             st = create_spatial_train_state(
                 self.state.params, self.sharded_scene, self.tcfg)
             self._spatial_tstate = dataclasses.replace(
-                st, step=self.state.step)
+                st, step=jnp.asarray(self.state.step, jnp.int32))
         self._spatial_tstate, losses = spatial_train_step(
             self._spatial_tstate, self.sspec, self.cfg, self.tcfg, batch,
             key, self.mesh,
@@ -709,6 +709,17 @@ class SceneModel:
             self.grid = jax.device_put(self.grid, rep)
             rs = ray_sharding(self.ray_mesh, ray_axis=2)
             ray_put = lambda rd: jax.device_put(rd, rs)  # noqa: E731
+            loc = B * (chunk_rays // self.ray_mesh.size)
+            if (self.cfg.attr_dedup > 0 and loc % self.cfg.attr_tile != 0
+                    and not getattr(self, "_warned_dedup_shard", False)):
+                # the dedup gate tests PER-SHARD rows inside shard_map;
+                # surface the silent fallback (review finding, round 5)
+                print(f"[render] attr_dedup inactive under --ray_shards: "
+                      f"per-shard rows {loc} not a multiple of --attr_tile "
+                      f"{self.cfg.attr_tile}; using the plain gather "
+                      f"(exact, slower) — pick chunk/attr_tile so "
+                      f"(chunk_stack*chunk/ray_shards) % attr_tile == 0")
+                self._warned_dedup_shard = True
         campos = jnp.broadcast_to(jnp.asarray(item["campos"]), (B, 3))
         rot = jnp.broadcast_to(jnp.asarray(item["camrotc2w"]), (B, 3, 3))
         near = jnp.asarray(item["near"])

@@ -685,3 +685,122 @@ def test_spatial_perspective_train_step_matches_single_device(scene):
         valid = gids[i] < cloud.capacity
         np.testing.assert_allclose(got_all[i][valid], ref[gids[i][valid]],
                                    atol=1e-5, rtol=1e-3)
+
+
+def test_plan_max_d_s_covers_boundary_dilation_spill():
+    """plan_sharded_scene must budget cache slots for every dilated cell
+    the per-shard build enumerates — including cells OUTSIDE the global
+    grid that exist in a boundary shard's local window (global x<0 /
+    x>=X). With --query_size > kernel_size the grid's kernel/2 margin is
+    smaller than the dilation radius, so a dense wall on the x-min face
+    dilates into shard 0's out-of-global halo cells; undersizing max_d_s
+    makes the fixed-size nonzero in ops/grid.py _dilated_enumeration drop
+    the HIGHEST linear ids — the boundary shard's own high-x cache rows —
+    i.e. silently wrong sharded renders (round-5 review fix)."""
+    from sgnerf_tpu.parallel.spatial import build_sharded_scene as _build
+
+    rng = np.random.default_rng(0)
+    side = 16
+    ys, zs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    wall = np.stack([np.zeros(side * side), ys.ravel().astype(float),
+                     zs.ravel().astype(float)], -1)
+    # sparse interior points keep every shard non-empty WITHOUT letting an
+    # interior shard's dilated count mask a boundary-shard undercount: the
+    # x=0 wall shard must be the max
+    body = np.stack([np.linspace(0, side, 32),
+                     np.full(32, side / 2), np.full(32, side / 2)], -1)
+    xyz = (np.concatenate([wall, body]) * 0.05).astype(np.float32)
+    emb = (rng.normal(size=(len(xyz), 8)) * 0.1).astype(np.float32)
+    cloud = make_point_cloud(xyz, emb,
+                             color=np.full((len(xyz), 3), 0.5, np.float32),
+                             dir=np.tile(np.float32([0, 0, 1]),
+                                         (len(xyz), 1)))
+    spec = grid_spec_for_cloud(cloud, vsize=[0.05] * 3, vscale=[1, 1, 1],
+                               kernel_size=[3, 3, 3], max_o=4096, P=8,
+                               dilate_size=[5, 5, 5])
+    sharded, sspec = _build(cloud, spec, 8, vox_bucket=1)
+    for i in range(8):
+        # occ_mask IS the local dilated occupancy the enumeration reads;
+        # every true cell must have received a slot (no truncation)
+        true_cells = int((np.asarray(sharded.occ_mask[i]) > 0).sum())
+        enumerated = int((np.asarray(sharded.dil_slot[i]) >= 0).sum())
+        assert true_cells <= sspec.max_d_s, (i, true_cells, sspec.max_d_s)
+        assert enumerated == true_cells, (i, enumerated, true_cells)
+
+
+def test_spatial_train_step_multi_trace_cached(tmp_path):
+    """Repeat spatial_train_step_multi dispatches must HIT the jit trace
+    cache: the old per-call `jax.jit(go)` closure re-traced the whole
+    G-step scanned shard_map program on every dispatch (seconds of host
+    time each — round-5 review fix). Pinned by counting traces of the
+    step impl across two same-shape dispatches through the CLI driver."""
+    from sgnerf_tpu.runtime.scene_model import SceneModel
+    from sgnerf_tpu.options.options import TrainOptions
+    from sgnerf_tpu.parallel import spatial as sp
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    opt = TrainOptions().parse([
+        "--name", "spt", "--checkpoints_dir", str(tmp_path),
+        "--scene_shards", "8", "--steps_per_dispatch", "2",
+        "--z_depth_dim", "24", "--SR", "4", "--K", "4", "--P", "8",
+        "--max_o", "8192", "--vsize", "0.08", "0.08", "0.08",
+        "--vscale", "2", "2", "2", "--kernel_size", "3", "3", "3",
+        "--radius_limit_scale", "4", "--agg_dist_pers", "20",
+        "--agg_distance_kernel", "linear", "--agg_intrp_order", "2",
+        "--point_features_dim", "32", "--num_feat_freqs", "3",
+        "--dist_xyz_freq", "5", "--num_viewdir_freqs", "4",
+        "--act_type", "LeakyReLU", "--shading_color_mlp_layer", "4",
+        "--shading_feature_mlp_layer1", "2",
+        "--which_ray_generation", "near_far_linear",
+        "--which_render_func", "radiance", "--which_blend_func", "alpha",
+        "--which_tonemap_func", "off", "--raydist_mode_unit", "1",
+        "--color_loss_items", "ray_masked_coarse_raycolor",
+        "--color_loss_weights", "1.0",
+        "--ranges", "-3", "-3", "-3", "3", "3", "3",
+        "--lr", "0.002", "--plr", "0.01", "--wcoord_query", "1",
+    ])
+    model = SceneModel(opt)
+    model.setup_from_points(xyz, None, None)
+
+    def mk_batch(i):
+        r = np.random.default_rng(20 + i)
+        d = (r.normal(size=(1, 48, 3)) * 0.25).astype(np.float32)
+        d[..., 2] = 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return {"campos": jnp.asarray([[0.0, 0.0, -3.0]]),
+                "raydir": jnp.asarray(d),
+                "camrotc2w": jnp.eye(3, dtype=np.float32)[None],
+                "near": jnp.asarray(1.0), "far": jnp.asarray(5.0),
+                "bg_color": jnp.ones(3),
+                "gt_image": jnp.asarray(
+                    r.uniform(0, 1, (1, 48, 3)).astype(np.float32))}
+
+    traces = []
+    orig = sp._spatial_train_step_impl
+
+    def counting(*a, **k):
+        traces.append(1)
+        return orig(*a, **k)
+
+    sp._spatial_train_step_impl = counting
+    try:
+        # call 1 traces; call 2 re-traces ONCE more (its input state came
+        # out of the first shard_map dispatch and carries the mesh-axis
+        # aval annotation plain inputs lack); call 3+ is the steady state
+        # and must be a pure cache hit
+        for i in range(2):
+            model.optimize_multi([mk_batch(2 * i), mk_batch(2 * i + 1)],
+                                 jax.random.split(jax.random.key(5 + i), 2))
+        warm = len(traces)
+        assert warm >= 1, "first dispatches must trace"
+        losses = model.optimize_multi(
+            [mk_batch(4), mk_batch(5)], jax.random.split(jax.random.key(9), 2))
+        steady = len(traces) - warm
+    finally:
+        sp._spatial_train_step_impl = orig
+    assert steady == 0, \
+        f"steady-state dispatch re-traced ({steady} traces)"
+    assert np.isfinite(float(losses[-1]["total"]))
